@@ -1,0 +1,158 @@
+"""Negacyclic NTT/iNTT over stacked RNS limbs.
+
+Transform layout matches the reference (OpenFHE-style, harvested from
+fhe-cmplr/rtlib/ant/src/util/ntt.c):
+  - twiddle table rou[bitrev(i)] = psi^i where psi is a primitive 2N-th
+    root of unity (ntt.c:80-127, Precompute_ntt)
+  - forward: Cooley-Tukey butterflies, natural-order input ->
+    bit-reversed "NTT form" output (ntt.c:190-264, Forward_transform)
+  - inverse: Gentleman-Sande, bit-reversed input -> natural output, with
+    N^-1 folded into the first (pairwise) stage (ntt.c:268-353,
+    Inverse_transform)
+
+All butterflies use Shoup multiplication with precomputed twiddles; data
+is [num_limbs, N] uint64, tables are stacked per limb. Stage loops are
+static Python loops (log2 N stages), fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ace_tpu.ops import modops
+from ace_tpu.utils import number_theory as nt
+
+
+class NttTables(NamedTuple):
+    """Per-limb NTT twiddle tables for a fixed set of primes (device arrays).
+
+    Shapes: rou/rou_prec/rou_inv/rou_inv_prec [L, N]; q/n_inv/n_inv_prec
+    [L, 1]; barrett mu words [L, 1].
+    """
+    q: jnp.ndarray
+    rou: jnp.ndarray
+    rou_prec: jnp.ndarray
+    rou_inv: jnp.ndarray
+    rou_inv_prec: jnp.ndarray
+    n_inv: jnp.ndarray
+    n_inv_prec: jnp.ndarray
+    mu_hi: jnp.ndarray
+    mu_lo: jnp.ndarray
+
+    @property
+    def degree(self) -> int:
+        return self.rou.shape[-1]
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def make_ntt_tables(primes: list[int], degree: int) -> NttTables:
+    """Host precompute of all twiddle tables for the given prime chain."""
+    n = degree
+    rev = _bit_reverse_indices(n)
+    rou_all, rou_prec_all = [], []
+    roui_all, roui_prec_all = [], []
+    n_inv_all, n_inv_prec_all = [], []
+    mu_hi_all, mu_lo_all = [], []
+    for q in primes:
+        psi = nt.root_of_unity(2 * n, q)
+        psi_inv = nt.mod_inv(psi, q)
+        # powers psi^i stored at bit-reversed positions
+        pw, pwi = 1, 1
+        rou = [0] * n
+        roui = [0] * n
+        for i in range(n):
+            rou[rev[i]] = pw
+            roui[rev[i]] = pwi
+            pw = (pw * psi) % q
+            pwi = (pwi * psi_inv) % q
+        rou_all.append(rou)
+        roui_all.append(roui)
+        rou_prec_all.append([modops.precompute_shoup(w, q) for w in rou])
+        roui_prec_all.append([modops.precompute_shoup(w, q) for w in roui])
+        ninv = nt.mod_inv(n, q)
+        n_inv_all.append([ninv])
+        n_inv_prec_all.append([modops.precompute_shoup(ninv, q)])
+        hi, lo = modops.precompute_barrett128(q)
+        mu_hi_all.append([hi])
+        mu_lo_all.append([lo])
+    u64 = modops.np_u64
+    return NttTables(
+        q=jnp.asarray(u64([[q] for q in primes])),
+        rou=jnp.asarray(u64(rou_all)),
+        rou_prec=jnp.asarray(u64(rou_prec_all)),
+        rou_inv=jnp.asarray(u64(roui_all)),
+        rou_inv_prec=jnp.asarray(u64(roui_prec_all)),
+        n_inv=jnp.asarray(u64(n_inv_all)),
+        n_inv_prec=jnp.asarray(u64(n_inv_prec_all)),
+        mu_hi=jnp.asarray(u64(mu_hi_all)),
+        mu_lo=jnp.asarray(u64(mu_lo_all)),
+    )
+
+
+def slice_tables(tables: NttTables, start: int, count: int) -> NttTables:
+    """Tables for limbs [start, start+count) of the full chain."""
+    return NttTables(*(t[start:start + count] for t in tables))
+
+
+def gather_tables(tables: NttTables, idx) -> NttTables:
+    """Tables for an arbitrary static list of limb indices."""
+    idx = np.asarray(idx)
+    return NttTables(*(t[idx] for t in tables))
+
+
+def ntt_fwd(coeffs: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Forward negacyclic NTT. coeffs [L, N] natural order -> NTT form."""
+    L, n = coeffs.shape
+    q = t.q[:, :, None]  # [L,1,1] for [L,m,t] stage views
+    d = coeffs
+    m = 1
+    while m < n:
+        half = n // (2 * m)
+        d = d.reshape(L, m, 2, half)
+        omega = t.rou[:, m:2 * m, None]
+        omega_prec = t.rou_prec[:, m:2 * m, None]
+        x = d[:, :, 0, :]
+        y = modops.shoup_mul(d[:, :, 1, :], omega, omega_prec, q)
+        d = jnp.stack(
+            [modops.add_mod(x, y, q), modops.sub_mod(x, y, q)], axis=2)
+        m *= 2
+    return d.reshape(L, n)
+
+
+def ntt_inv(values: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Inverse negacyclic NTT. values [L, N] NTT form -> natural order."""
+    L, n = values.shape
+    q = t.q[:, :, None]
+    d = values
+    m = n // 2
+    first = True
+    while m >= 1:
+        half = n // (2 * m)
+        d = d.reshape(L, m, 2, half)
+        omega = t.rou_inv[:, m:2 * m, None]
+        omega_prec = t.rou_inv_prec[:, m:2 * m, None]
+        lo = d[:, :, 0, :]
+        hi = d[:, :, 1, :]
+        s = modops.add_mod(lo, hi, q)
+        df = modops.shoup_mul(modops.sub_mod(lo, hi, q), omega, omega_prec, q)
+        if first:
+            # N^-1 folded into the pairwise stage (ntt.c:281-317)
+            ninv = t.n_inv[:, :, None]
+            ninv_prec = t.n_inv_prec[:, :, None]
+            s = modops.shoup_mul(s, ninv, ninv_prec, q)
+            df = modops.shoup_mul(df, ninv, ninv_prec, q)
+            first = False
+        d = jnp.stack([s, df], axis=2)
+        m //= 2
+    return d.reshape(L, n)
