@@ -22,11 +22,24 @@ in [0, q) so results are bit-identical to the reference CPU runtime
 (fhe-cmplr/rtlib/ant) at identical moduli chains.
 """
 
+import os
+
 import jax
 
 # Exact 64-bit integer arithmetic everywhere (verified bit-exact on TPU,
 # where XLA emulates u64 ops over u32 pairs). Must happen before any
 # jax.numpy usage in the package.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: CKKS programs compile one XLA executable
+# per (op, level) pair; caching them on disk makes every run after the
+# first start instantly (override dir with ACE_TPU_CACHE_DIR, disable
+# with ACE_TPU_CACHE_DIR="").
+_cache_dir = os.environ.get("ACE_TPU_CACHE_DIR",
+                            os.path.expanduser("~/.cache/ace_tpu_xla"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 __version__ = "0.1.0"

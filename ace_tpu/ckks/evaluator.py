@@ -1,0 +1,258 @@
+"""CKKS homomorphic evaluator: the TPU-native scheme-op layer.
+
+Functional re-design of the reference CKKS_EVALUATOR
+(fhe-cmplr/rtlib/ant/src/util/ckks_evaluator.c). Every op takes/returns
+Ciphertext pytrees of RnsPoly device arrays and is fully traceable under
+jit; levels/scales are static metadata so each level compiles its own
+fused program.
+
+Exact-semantics sources (file:line in the reference):
+  encrypt/decrypt:   ckks_encryptor.c:20-75, ckks_decryptor.c:18-57
+  add/sub/plain ops: ckks_evaluator.c:37-215
+  mul (ciph3):       ckks_evaluator.c:181-226 (c0c0', c0c1'+c1c0', c1c1')
+  relinearize:       ckks_evaluator.c:258-270 (switch-key on c2 + add)
+  rescale:           ckks_evaluator.c:309-329 (+ scale bookkeeping)
+  hybrid keyswitch:  ckks_evaluator.c:391-461 (digit MACs in QP basis,
+                     then mod-down); digits via Decompose/Raise
+  rotate:            ckks_evaluator.c:507-545 (keyswitch c1, add c0,
+                     then automorphism of both outputs)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ace_tpu.ckks.cipher import Ciphertext, Ciphertext3
+from ace_tpu.ckks.encoder import Encoder, Plaintext
+from ace_tpu.ckks.keygen import KeyGenerator, SwitchKey
+from ace_tpu.ckks.params import CkksParams
+from ace_tpu.poly import poly as P
+from ace_tpu.poly.poly import RnsPoly
+from ace_tpu.utils import number_theory as nt
+
+
+class Evaluator:
+    def __init__(self, params: CkksParams, keygen: KeyGenerator,
+                 encoder: Encoder):
+        self.params = params
+        self.crt = params.crt
+        self.keygen = keygen
+        self.encoder = encoder
+
+    # -- encrypt / decrypt ----------------------------------------------
+
+    def encrypt(self, plain: Plaintext) -> Ciphertext:
+        kg = self.keygen
+        crt = self.crt
+        level = plain.poly.num_q
+        v = kg._small_qp_poly(kg._sample_triangle())
+        e0 = kg._small_qp_poly(kg._sample_triangle())
+        e1 = kg._small_qp_poly(kg._sample_triangle())
+
+        def at_level(p: RnsPoly) -> RnsPoly:
+            return RnsPoly(p.data[:level], level, 0, p.is_ntt)
+
+        pk_b, pk_a = at_level(kg.pk.b), at_level(kg.pk.a)
+        c0 = P.add(P.add(P.mul(pk_b, at_level(v), crt), at_level(e0), crt),
+                   plain.poly, crt)
+        c1 = P.add(P.mul(pk_a, at_level(v), crt), at_level(e1), crt)
+        return Ciphertext(c0, c1, plain.scaling_factor, plain.sf_degree,
+                          plain.slots)
+
+    def decrypt(self, ciph: Ciphertext) -> Plaintext:
+        crt = self.crt
+        level = ciph.level
+        sk = RnsPoly(self.keygen.sk.ntt_sk.data[:level], level, 0, True)
+        m = P.add(P.mul(ciph.c1, sk, crt), ciph.c0, crt)
+        return Plaintext(m, ciph.scaling_factor, ciph.sf_degree, ciph.slots)
+
+    # -- linear ops ------------------------------------------------------
+
+    def _adjust(self, c1: Ciphertext, c2: Ciphertext):
+        """Drop limbs of the higher-level operand (Adjust_level)."""
+        lv = min(c1.level, c2.level)
+
+        def cut(c: Ciphertext) -> Ciphertext:
+            if c.level == lv:
+                return c
+            return Ciphertext(RnsPoly(c.c0.data[:lv], lv, 0, c.c0.is_ntt),
+                              RnsPoly(c.c1.data[:lv], lv, 0, c.c1.is_ntt),
+                              c.scaling_factor, c.sf_degree, c.slots)
+        return cut(c1), cut(c2)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._adjust(a, b)
+        return Ciphertext(P.add(a.c0, b.c0, self.crt),
+                          P.add(a.c1, b.c1, self.crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._adjust(a, b)
+        return Ciphertext(P.sub(a.c0, b.c0, self.crt),
+                          P.sub(a.c1, b.c1, self.crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        return Ciphertext(P.neg(a.c0, self.crt), P.neg(a.c1, self.crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def add_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return Ciphertext(P.add(a.c0, plain.poly, self.crt), a.c1,
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def sub_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return Ciphertext(P.sub(a.c0, plain.poly, self.crt), a.c1,
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def add_const(self, a: Ciphertext, val: float) -> Ciphertext:
+        pl = self.encoder.encode_value(val, a.level, a.sf_degree)
+        return self.add_plain(a, pl)
+
+    def mul_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
+        crt = self.crt
+        return Ciphertext(P.mul(a.c0, plain.poly, crt),
+                          P.mul(a.c1, plain.poly, crt),
+                          a.scaling_factor * plain.scaling_factor,
+                          a.sf_degree + plain.sf_degree, a.slots)
+
+    def mul_const(self, a: Ciphertext, val: float) -> Ciphertext:
+        pl = self.encoder.encode_value(val, a.level, 1)
+        return self.mul_plain(a, pl)
+
+    def mul_integer(self, a: Ciphertext, k: int) -> Ciphertext:
+        idx = list(range(a.level))
+        scalars = [k % q for q in self.crt.q_primes[:a.level]]
+        return Ciphertext(P.mul_scalars(a.c0, scalars, self.crt),
+                          P.mul_scalars(a.c1, scalars, self.crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def mul_by_monomial(self, a: Ciphertext, power: int) -> Ciphertext:
+        """Multiply by x^power (ckks_evaluator.c:228-256)."""
+        crt = self.crt
+        n = a.c0.degree
+        power_reduced = power % (2 * n)
+        index = power % n
+        coeffs = np.zeros((a.level, n), dtype=np.uint64)
+        for l, q in enumerate(crt.q_primes[:a.level]):
+            coeffs[l, index] = 1 if power_reduced < n else q - 1
+        mono = P.to_ntt(RnsPoly(jnp.asarray(coeffs), a.level, 0, False), crt)
+        return Ciphertext(P.mul(a.c0, mono, crt), P.mul(a.c1, mono, crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    # -- multiplication / relinearization -------------------------------
+
+    def mul3(self, a: Ciphertext, b: Ciphertext) -> Ciphertext3:
+        a, b = self._adjust(a, b)
+        crt = self.crt
+        c0 = P.mul(a.c0, b.c0, crt)
+        c1 = P.add(P.mul(a.c0, b.c1, crt), P.mul(a.c1, b.c0, crt), crt)
+        c2 = P.mul(a.c1, b.c1, crt)
+        return Ciphertext3(c0, c1, c2,
+                           a.scaling_factor * b.scaling_factor,
+                           a.sf_degree + b.sf_degree, a.slots)
+
+    def _switch_key_digits(self, poly: RnsPoly) -> list[RnsPoly]:
+        """Decompose + raise every digit (Switch_key_precompute)."""
+        crt = self.crt
+        num = crt.num_decomp(poly.num_q)
+        out = []
+        for part in range(num):
+            digit = P.decompose(poly, crt, part)
+            out.append(P.mod_up(digit, crt, poly.num_q, part))
+        return out
+
+    def _switch_key_ext(self, key: SwitchKey, digits: list[RnsPoly],
+                        level: int) -> tuple[RnsPoly, RnsPoly]:
+        """Digit MACs against the key in the extended QP basis
+        (Fast_switch_key_ext, ckks_evaluator.c:404-461)."""
+        crt = self.crt
+        acc0 = acc1 = None
+        for part, raised in enumerate(digits):
+            def key_at_level(kp: RnsPoly) -> RnsPoly:
+                data = jnp.concatenate(
+                    [kp.data[:level], kp.data[crt.num_q:]], axis=0)
+                return RnsPoly(data, level, crt.num_p, True)
+            k0 = key_at_level(key.b[part])
+            k1 = key_at_level(key.a[part])
+            t0 = P.mul(k0, raised, crt)
+            t1 = P.mul(k1, raised, crt)
+            acc0 = t0 if acc0 is None else P.add(acc0, t0, crt)
+            acc1 = t1 if acc1 is None else P.add(acc1, t1, crt)
+        return acc0, acc1
+
+    def _switch_key(self, key: SwitchKey, poly: RnsPoly
+                    ) -> tuple[RnsPoly, RnsPoly]:
+        """Full hybrid key switch of `poly`: returns (s0, s1) over Q_level."""
+        digits = self._switch_key_digits(poly)
+        e0, e1 = self._switch_key_ext(key, digits, poly.num_q)
+        return P.mod_down(e0, self.crt), P.mod_down(e1, self.crt)
+
+    def relinearize(self, c3: Ciphertext3) -> Ciphertext:
+        s0, s1 = self._switch_key(self.keygen.relin_key, c3.c2)
+        crt = self.crt
+        return Ciphertext(P.add(s0, c3.c0, crt), P.add(s1, c3.c1, crt),
+                          c3.scaling_factor, c3.sf_degree, c3.slots)
+
+    def mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self.relinearize(self.mul3(a, b))
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.mul(a, a)
+
+    # -- rescale / scale management -------------------------------------
+
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        assert a.level > 1
+        new_factor = a.scaling_factor / self.params.scaling_factor
+        return Ciphertext(P.rescale(a.c0, self.crt),
+                          P.rescale(a.c1, self.crt),
+                          new_factor, a.sf_degree - 1, a.slots)
+
+    def upscale(self, a: Ciphertext, mod_size: int) -> Ciphertext:
+        """Multiply by an encoding of 1.0 at scale 2^mod_size
+        (ckks_evaluator.c:331-345)."""
+        up = 2.0 ** mod_size
+        pl = self.encoder.encode_value_with_scale(1.0, a.level, up)
+        return self.mul_plain(a, pl)
+
+    def downscale(self, a: Ciphertext, waterline: int) -> Ciphertext:
+        """Normalize scale back to one Delta (ckks_evaluator.c:347-366)."""
+        sf_bits = self.params.scaling_mod_size
+        ciph_bits = int(np.log2(a.scaling_factor))
+        up_bits = waterline + sf_bits - ciph_bits
+        up = self.upscale(a, up_bits)
+        up = Ciphertext(up.c0, up.c1, up.scaling_factor, a.sf_degree + 1,
+                        up.slots)
+        return self.rescale(up)
+
+    def mod_switch(self, a: Ciphertext) -> Ciphertext:
+        """Drop the last limb without scaling (Mod_down_q_primes)."""
+        lv = a.level - 1
+        return Ciphertext(RnsPoly(a.c0.data[:lv], lv, 0, a.c0.is_ntt),
+                          RnsPoly(a.c1.data[:lv], lv, 0, a.c1.is_ntt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    # -- rotation / conjugation -----------------------------------------
+
+    def rotate(self, a: Ciphertext, rotation: int) -> Ciphertext:
+        """Slot rotation: keyswitch c1, add c0, then automorphism
+        (Fast_rotate, ckks_evaluator.c:507-545)."""
+        if rotation == 0:
+            return a
+        auto_idx, key = self.keygen.rot_key(rotation)
+        crt = self.crt
+        s0, s1 = self._switch_key(key, a.c1)
+        t0 = P.add(s0, a.c0, crt)
+        return Ciphertext(P.automorphism(t0, auto_idx, crt),
+                          P.automorphism(s1, auto_idx, crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        auto_idx, key = self.keygen.conj_key()
+        crt = self.crt
+        s0, s1 = self._switch_key(key, a.c1)
+        t0 = P.add(s0, a.c0, crt)
+        return Ciphertext(P.automorphism(t0, auto_idx, crt),
+                          P.automorphism(s1, auto_idx, crt),
+                          a.scaling_factor, a.sf_degree, a.slots)

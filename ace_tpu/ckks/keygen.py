@@ -1,0 +1,166 @@
+"""CKKS key generation: secret/public/relin/rotation/conjugation keys.
+
+Structure replicates the reference (fhe-cmplr/rtlib/ant/src/util/
+ckks_key_generator.c): ternary secret with optional exact hamming weight,
+pk = (-(a s)+e, a), and hybrid key-switching keys with one (b, a) pair
+per digit: b = -a*old_key + P*Q~_part*new_key + e over the Q ∪ P basis
+(Generate_switching_key, ckks_key_generator.c:127-197; rotation keys use
+the inverse automorphism of the NTT secret and swap old/new for
+rotate-after-keyswitch, :238-268).
+
+Randomness: numpy Generator (not the reference's time-seeded BLAKE2 —
+neither is reproducible across runs; correctness tests go through
+decrypt(op(encrypt(x))) like the reference's own unittests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ace_tpu.ckks.params import CkksParams
+from ace_tpu.ops import modops
+from ace_tpu.poly import poly as P
+from ace_tpu.poly.poly import RnsPoly
+from ace_tpu.utils import number_theory as nt
+
+
+@dataclasses.dataclass
+class SecretKey:
+    coeffs: np.ndarray          # signed ternary, length N (host)
+    ntt_sk: RnsPoly             # NTT form over Q ∪ P
+
+
+@dataclasses.dataclass
+class PublicKey:
+    b: RnsPoly                  # pk0 = -(a s) + e
+    a: RnsPoly                  # pk1
+
+
+@dataclasses.dataclass
+class SwitchKey:
+    """One (b, a) pair per KSW digit, each over the full Q ∪ P basis."""
+    b: list
+    a: list
+
+
+def _signed_to_rns(samples: np.ndarray, primes: list[int]) -> np.ndarray:
+    """Small signed ints -> canonical residue rows per prime."""
+    out = []
+    for q in primes:
+        v = samples.astype(np.int64).copy()
+        v[v < 0] += q
+        out.append(v.astype(np.uint64))
+    return np.stack(out)
+
+
+class KeyGenerator:
+    def __init__(self, params: CkksParams, rng: np.random.Generator = None):
+        self.params = params
+        self.crt = params.crt
+        self.rng = rng or np.random.default_rng()
+        self.sk = self._gen_secret_key()
+        self.pk = self._gen_public_key()
+        self.relin_key = self._gen_relin_key()
+        self._rot_keys: dict[int, SwitchKey] = {}
+
+    # -- sampling (random_sample.c:39-173) -------------------------------
+
+    def _sample_ternary(self) -> np.ndarray:
+        n = self.params.degree
+        hw = self.params.hamming_weight
+        if hw:
+            s = np.zeros(n, dtype=np.int64)
+            pos = self.rng.choice(n, size=hw, replace=False)
+            s[pos] = self.rng.choice(np.array([-1, 1]), size=hw)
+            return s
+        return self.rng.integers(-1, 2, size=n).astype(np.int64)
+
+    def _sample_triangle(self) -> np.ndarray:
+        r = self.rng.integers(0, 4, size=self.params.degree)
+        return np.where(r == 0, -1, np.where(r == 1, 1, 0)).astype(np.int64)
+
+    def _sample_uniform_qp(self) -> RnsPoly:
+        crt = self.crt
+        rows = [self.rng.integers(0, q, dtype=np.uint64,
+                                  size=self.params.degree)
+                for q in crt.q_primes + crt.p_primes]
+        # fresh uniform values interpreted directly as NTT form
+        # (ckks_key_generator.c:159 "skip ntt convert")
+        return RnsPoly(jnp.asarray(np.stack(rows)), crt.num_q, crt.num_p,
+                       True)
+
+    def _small_qp_poly(self, samples: np.ndarray, ntt: bool = True) -> RnsPoly:
+        crt = self.crt
+        data = _signed_to_rns(samples, crt.q_primes + crt.p_primes)
+        p = RnsPoly(jnp.asarray(data), crt.num_q, crt.num_p, False)
+        return P.to_ntt(p, crt) if ntt else p
+
+    # -- keys ------------------------------------------------------------
+
+    def _gen_secret_key(self) -> SecretKey:
+        s = self._sample_ternary()
+        return SecretKey(s, self._small_qp_poly(s))
+
+    def _gen_public_key(self) -> PublicKey:
+        crt = self.crt
+        a_full = self._sample_uniform_qp()
+        # public key lives over Q only (ckks_key_generator.c:100)
+        a = RnsPoly(a_full.data[:crt.num_q], crt.num_q, 0, True)
+        sk_q = RnsPoly(self.sk.ntt_sk.data[:crt.num_q], crt.num_q, 0, True)
+        e = self._small_qp_poly(self._sample_triangle())
+        e_q = RnsPoly(e.data[:crt.num_q], crt.num_q, 0, True)
+        b = P.add(P.neg(P.mul(a, sk_q, crt), crt), e_q, crt)
+        return PublicKey(b, a)
+
+    def _gen_switching_key(self, new_key: RnsPoly,
+                           old_key: RnsPoly) -> SwitchKey:
+        """b_part = -a*old_key + P*Q~_part*new_key + e (NTT over Q ∪ P)."""
+        crt = self.crt
+        per = crt.per_part_size
+        bs, As = [], []
+        for part in range(crt.num_q_parts):
+            a = self._sample_uniform_qp()
+            e = self._small_qp_poly(self._sample_triangle())
+            # scalars: P mod q_i for q_i in this part, 0 on other q limbs,
+            # P mod p_j on the P limbs (Scalars_integer_multiply_poly_qpart)
+            scalars = []
+            for i, q in enumerate(crt.q_primes):
+                in_part = per * part <= i < min(per * (part + 1), crt.num_q)
+                scalars.append(crt.big_p % q if in_part else 0)
+            for p_ in crt.p_primes:
+                scalars.append(0)
+            pk_new = P.mul_scalars(new_key, scalars, crt)
+            b = P.add(P.sub(e, P.mul(a, old_key, crt), crt), pk_new, crt)
+            bs.append(b)
+            As.append(a)
+        return SwitchKey(bs, As)
+
+    def _gen_relin_key(self) -> SwitchKey:
+        sk2 = P.mul(self.sk.ntt_sk, self.sk.ntt_sk, self.crt)
+        return self._gen_switching_key(sk2, self.sk.ntt_sk)
+
+    def rot_key(self, rotation: int) -> tuple[int, SwitchKey]:
+        """Rotation key for slot-rotation `rotation`; returns (auto_idx,
+        key). Key maps sigma_{k^-1}(s) -> s so rotation is applied after
+        key-switching (ckks_key_generator.c:238-268, is_fast path)."""
+        n = self.params.degree
+        auto_idx = nt.find_automorphism_index(rotation, 2 * n)
+        if auto_idx not in self._rot_keys:
+            gen_idx = nt.mod_inv(auto_idx, 2 * n)
+            rotated = P.automorphism(self.sk.ntt_sk, gen_idx, self.crt)
+            self._rot_keys[auto_idx] = self._gen_switching_key(
+                self.sk.ntt_sk, rotated)
+        return auto_idx, self._rot_keys[auto_idx]
+
+    def conj_key(self) -> tuple[int, SwitchKey]:
+        """Conjugation key (auto index 2N-1)."""
+        n = self.params.degree
+        auto_idx = 2 * n - 1
+        if auto_idx not in self._rot_keys:
+            rotated = P.automorphism(self.sk.ntt_sk, auto_idx, self.crt)
+            self._rot_keys[auto_idx] = self._gen_switching_key(
+                self.sk.ntt_sk, rotated)
+        return auto_idx, self._rot_keys[auto_idx]

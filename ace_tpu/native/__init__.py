@@ -1,0 +1,69 @@
+"""Native (C) CPU kernels: baseline measurement + fast host oracle.
+
+Compiled on demand with gcc -O3; loaded via ctypes (no pybind11 in the
+image). All kernels produce the same canonical residues as the device
+path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libckks_core.so")
+_SRC = os.path.join(_DIR, "ckks_core.c")
+_lib = None
+
+
+def _build():
+    subprocess.run(
+        ["gcc", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        _lib = ctypes.CDLL(_SO)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        _lib.ckks_ntt_fwd.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                      ctypes.c_uint32]
+        _lib.ckks_ntt_inv.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                      ctypes.c_uint64, ctypes.c_uint64,
+                                      ctypes.c_uint32]
+        _lib.ckks_modadd.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                     ctypes.c_size_t]
+        _lib.ckks_modmul_barrett.argtypes = [u64p, u64p, u64p,
+                                             ctypes.c_uint64,
+                                             ctypes.c_uint64,
+                                             ctypes.c_uint64,
+                                             ctypes.c_size_t]
+        _lib.ckks_mac.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                  ctypes.c_uint64, ctypes.c_uint64,
+                                  ctypes.c_size_t]
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ntt_fwd_inplace(data: np.ndarray, rou: np.ndarray, rou_prec: np.ndarray,
+                    q: int) -> None:
+    lib = get_lib()
+    lib.ckks_ntt_fwd(_ptr(data), _ptr(rou), _ptr(rou_prec), q, len(data))
+
+
+def ntt_inv_inplace(data: np.ndarray, rou_inv: np.ndarray,
+                    rou_inv_prec: np.ndarray, n_inv: int, n_inv_prec: int,
+                    q: int) -> None:
+    lib = get_lib()
+    lib.ckks_ntt_inv(_ptr(data), _ptr(rou_inv), _ptr(rou_inv_prec),
+                     n_inv, n_inv_prec, q, len(data))

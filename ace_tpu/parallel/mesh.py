@@ -1,0 +1,44 @@
+"""Device-mesh sharding for CKKS evaluation.
+
+Parallel axes of the FHE workload (SURVEY.md §5.7-5.8):
+  - limb axis  (RNS primes): elementwise poly ops and per-limb NTTs are
+    embarrassingly parallel — zero communication. Base conversions
+    (mod-up/mod-down/rescale) contract over source limbs — XLA's SPMD
+    partitioner turns our per-limb accumulation into all-gather/psum
+    over ICI. This is the tensor-parallel analog.
+  - batch axis (independent ciphertexts/images): pure data parallel.
+
+We annotate with NamedSharding and let XLA insert collectives (no
+hand-written NCCL-analog): mesh ('dp', 'limb'), ciphertext data
+[..., L, N] sharded P(..., 'limb', None).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_dp: int = 1, n_limb: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = n_dp * n_limb
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    dev = np.asarray(devices[:need]).reshape(n_dp, n_limb)
+    return Mesh(dev, ("dp", "limb"))
+
+
+def limb_sharding(mesh: Mesh, batched: bool = False) -> NamedSharding:
+    """Sharding for poly data: [L, N] or [B, L, N]."""
+    if batched:
+        return NamedSharding(mesh, P("dp", "limb", None))
+    return NamedSharding(mesh, P(None, "limb", None)
+                         if len(mesh.shape) > 2 else P("limb", None))
+
+
+def shard_poly(mesh: Mesh, poly_data, batched: bool = False):
+    return jax.device_put(poly_data, limb_sharding(mesh, batched))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
