@@ -248,6 +248,30 @@ class Evaluator:
                           P.automorphism(s1, auto_idx, crt),
                           a.scaling_factor, a.sf_degree, a.slots)
 
+    def rotations_hoisted(self, a: Ciphertext,
+                          rotations: list[int]) -> list[Ciphertext]:
+        """Many rotations of one ciphertext sharing a single digit
+        decompose/mod-up (the reference's mod-up hoisting,
+        ut_ksw_opt.cxx:349-375 / Fast_rotate with shared precomputed)."""
+        crt = self.crt
+        digits = None
+        out = []
+        for r in rotations:
+            if r == 0:
+                out.append(a)
+                continue
+            if digits is None:
+                digits = self._switch_key_digits(a.c1)
+            auto_idx, key = self.keygen.rot_key(r)
+            e0, e1 = self._switch_key_ext(key, digits, a.c1.num_q)
+            s0 = P.mod_down(e0, crt)
+            s1 = P.mod_down(e1, crt)
+            t0 = P.add(s0, a.c0, crt)
+            out.append(Ciphertext(P.automorphism(t0, auto_idx, crt),
+                                  P.automorphism(s1, auto_idx, crt),
+                                  a.scaling_factor, a.sf_degree, a.slots))
+        return out
+
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         auto_idx, key = self.keygen.conj_key()
         crt = self.crt

@@ -1,0 +1,366 @@
+"""Slot-packing lowering: tensors -> 1-D SIMD-slot programs.
+
+Own TPU-first re-design of the reference's tensor->vector metakernels
+(nn-addon/vector/src/tensor2vector_util.cxx New_conv_metakernel:163,
+New_gemm_metakernel_fast:502; vector_utils.cxx Get_im2col_kernel:162).
+Capability parity, not a translation:
+
+  - layout: NCHW channel-major flattening into slots, conv computed at
+    full resolution via rotation taps against im2col'd diagonal weight
+    vectors, strided results masked then compacted
+  - conv: acc += rot(dup(x), ci*h*w + ra[k]*stride) * W[ci*khw+k] where
+    ra is the kernel-offset table and W rows carry the per-output-
+    channel diagonalized weights (so one rotated vector feeds all
+    output channels)
+  - gemm: BSGS diagonal method (baby rotations x giant steps)
+  - stride compaction: log-depth shift-and-mask doubling (own schedule)
+
+Everything here is backend-polymorphic: `be` is a SlotBackend (numpy
+plain VM or the CKKS evaluator), so the same lowering executes in the
+clear for validation and encrypted for inference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+class PlainBackend:
+    """Slot VM on numpy vectors (the oracle)."""
+
+    def __init__(self, n_slots: int):
+        self.n_slots = n_slots
+
+    def pack(self, flat: np.ndarray):
+        v = np.zeros(self.n_slots)
+        v[:len(flat)] = flat
+        return v
+
+    def rotate(self, v, k: int):
+        return np.roll(v, -k)
+
+    def add(self, a, b):
+        return a + b
+
+    def mul_plain(self, v, w: np.ndarray):
+        return v * self.pack(w)
+
+    def add_plain(self, v, w: np.ndarray):
+        return v + self.pack(w)
+
+    def rotations_hoisted(self, v, ks):
+        return [self.rotate(v, k) for k in ks]
+
+    def relu(self, v):
+        return np.maximum(v, 0)
+
+    def square(self, v):
+        return v * v
+
+    def mul(self, a, b):
+        return a * b
+
+
+class FheBackend:
+    """Slot VM on CKKS ciphertexts with inline lazy scale management.
+
+    Mirrors the reference scale manager policy (fhe-cmplr/include/fhe/
+    ckks/scale_manager.h:101,442-491): operands are rescaled before a
+    multiply when their scale degree exceeds 1.
+    """
+
+    def __init__(self, evaluator, encoder):
+        self.ev = evaluator
+        self.enc = encoder
+        self.n_slots = evaluator.params.degree // 2
+
+    def _norm(self, ct):
+        while ct.sf_degree > 1:
+            ct = self.ev.rescale(ct)
+        return ct
+
+    def pack(self, flat):
+        raise NotImplementedError("inputs are ciphertexts")
+
+    def rotate(self, ct, k: int):
+        return self.ev.rotate(ct, k)
+
+    def add(self, a, b):
+        if a.sf_degree != b.sf_degree:
+            a, b = self._norm(a), self._norm(b)
+        return self.ev.add(a, b)
+
+    def _encode_like(self, ct, w: np.ndarray):
+        vec = np.zeros(self.n_slots, dtype=np.complex128)
+        vec[:len(w)] = w
+        return self.enc.encode(vec, level=ct.level, slots=self.n_slots)
+
+    def mul_plain(self, ct, w: np.ndarray):
+        ct = self._norm(ct)
+        return self.ev.mul_plain(ct, self._encode_like(ct, w))
+
+    def add_plain(self, ct, w: np.ndarray):
+        pl = self.enc.encode(
+            np.concatenate([w, np.zeros(self.n_slots - len(w))]),
+            level=ct.level, slots=self.n_slots, sf_degree=ct.sf_degree)
+        return self.ev.add_plain(ct, pl)
+
+    def rotations_hoisted(self, ct, ks):
+        return self.ev.rotations_hoisted(ct, ks)
+
+    def mul(self, a, b):
+        return self.ev.mul(self._norm(a), self._norm(b))
+
+    def square(self, a):
+        a = self._norm(a)
+        return self.ev.mul(a, a)
+
+
+# ---------------------------------------------------------------------------
+# Conv2d lowering
+# ---------------------------------------------------------------------------
+
+def conv_ra_offsets(kh: int, kw: int, w: int) -> list[int]:
+    """Rotation offsets for kernel taps on a row-major HxW image with
+    'same' padding: tap (di, dj) reads position (i+di-p, j+dj-p)."""
+    p = (kh - 1) // 2
+    return [(di - p) * w + (dj - p)
+            for di in range(kh) for dj in range(kw)]
+
+
+def conv_tap_weights(weight: np.ndarray, h: int, w: int,
+                     stride: int = 1) -> tuple[list[int], np.ndarray]:
+    """Build rotation taps and per-tap diagonal weight vectors.
+
+    weight: [c_out, c_in, kh, kw]. Returns (rots, W) with W of shape
+    [c_in*kh*kw, c_out*h*w]: tap t = (ci, k) contributes
+      acc += rot(x_dup, ci*h*w + ra[k]) * W[t]
+    where W[t][co*h*w + pos] = weight[co, ci, k] masked by image-border
+    validity at pos, and x_dup has the c_in channels replicated so that
+    channel reads beyond c_in wrap around.
+    """
+    c_out, c_in, kh, kw = weight.shape
+    ra = conv_ra_offsets(kh, kw, w)
+    p = (kh - 1) // 2
+    hw = h * w
+    # border-validity mask per kernel tap at each output position
+    pos_i, pos_j = np.divmod(np.arange(hw), w)
+    rots = []
+    rows = []
+    for ci in range(c_in):
+        for k, off in enumerate(ra):
+            di, dj = divmod(k, kw)
+            src_i = pos_i + (di - p)
+            src_j = pos_j + (dj - p)
+            valid = ((src_i >= 0) & (src_i < h) &
+                     (src_j >= 0) & (src_j < w)).astype(np.float64)
+            # diagonal structure: output channel co with tap offset ci
+            # reads input channel (co + ci) mod c_in from the replicated
+            # input, so the weight row rotates per output channel
+            # (cf. Get_im2col_kernel's (i + c1*khw) % (c_in*khw) indexing)
+            row = np.zeros(c_out * hw)
+            for co in range(c_out):
+                row[co * hw:(co + 1) * hw] = (
+                    weight[co, (ci + co) % c_in, di, dj] * valid)
+            rots.append(ci * hw + off)
+            rows.append(row)
+    return rots, np.stack(rows)
+
+
+def dup_input(be, x, length: int, copies: int):
+    """x_dup = x ++ x ++ ... (copies), assuming slots beyond are zero."""
+    acc = x
+    total = 1
+    while total < copies:
+        shift = total * length
+        acc = be.add(acc, be.rotate(acc, -shift))
+        total *= 2
+    return acc
+
+
+def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
+           stride: int = 1):
+    """Encrypted conv2d ('same' padding). x packs [c_in, h, w] NCHW.
+
+    Returns packed [c_out, h/stride, w/stride] (compacted if stride>1).
+    """
+    c_out, c_in, kh, kw = weight.shape
+    hw = h * w
+    copies = math.ceil((c_out + c_in) / c_in)  # reads up to (c_in-1)+c_out chans
+    xd = dup_input(be, x, c_in * hw, max(copies, 2))
+    rots, W = conv_tap_weights(weight, h, w, stride)
+    rotated = be.rotations_hoisted(xd, rots)
+    acc = None
+    for r, row in zip(rotated, W):
+        term = be.mul_plain(r, row)
+        acc = term if acc is None else be.add(acc, term)
+    bias_vec = np.repeat(bias, hw)
+    if stride > 1:
+        mask = stride_mask(h, w, stride)
+        bias_vec = bias_vec * np.tile(mask, c_out)
+        acc = be.mul_plain(acc, np.tile(mask, c_out))
+        acc = be.add_plain(acc, bias_vec)
+        acc = compact_strided(be, acc, c_out, h, w, stride)
+    else:
+        acc = be.add_plain(acc, bias_vec)
+    return acc
+
+
+def stride_mask(h: int, w: int, stride: int) -> np.ndarray:
+    m = np.zeros((h, w))
+    m[::stride, ::stride] = 1.0
+    return m.reshape(-1)
+
+
+def gather_by_delta(be, x, pairs):
+    """Slot gather out[dst] = x[src] for (src, dst) pairs, src >= dst.
+
+    Groups pairs by shift delta: one hoisted rotation per distinct
+    delta plus a target-select mask — each output slot is written by
+    exactly one term, so the schedule is collision-free by
+    construction. Non-selected slots are zero.
+    """
+    n = be.n_slots
+    groups: dict[int, list[int]] = {}
+    for src, dst in pairs:
+        groups.setdefault(src - dst, []).append(dst)
+    deltas = sorted(groups)
+    if deltas == [0]:
+        mask = np.zeros(n)
+        mask[groups[0]] = 1.0
+        return be.mul_plain(x, mask)
+    rotated = be.rotations_hoisted(x, deltas)
+    acc = None
+    for r, d in zip(rotated, deltas):
+        mask = np.zeros(n)
+        mask[groups[d]] = 1.0
+        term = be.mul_plain(r, mask)
+        acc = term if acc is None else be.add(acc, term)
+    return acc
+
+
+def compact_strided(be, x, c: int, h: int, w: int, stride: int):
+    """Compact stride-masked [c, h, w] (valid at multiples of stride)
+    into dense [c, h/s, w/s].
+
+    Multi-pass gather with one rotation per distinct shift: columns
+    (ow rotations), rows (oh), rows-tight (oh), channels (c). Same
+    capability as the reference's Combine_cross_row/rc/channel
+    (tensor2vector_util.cxx:1112-1164), own schedule.
+    """
+    s = stride
+    oh, ow = h // s, w // s
+    hw = h * w
+    # pass 1: cols j*s -> j within every row of every channel
+    pairs = [(ch * hw + r * w + j * s, ch * hw + r * w + j)
+             for ch in range(c) for r in range(0, h, s) for j in range(ow)]
+    x = gather_by_delta(be, x, pairs)
+    # pass 2: rows i*s -> i (rows still width w, ow valid)
+    pairs = [(ch * hw + i * s * w + j, ch * hw + i * w + j)
+             for ch in range(c) for i in range(oh) for j in range(ow)]
+    x = gather_by_delta(be, x, pairs)
+    # pass 3a: rows tight within channel (offset i*w -> i*ow)
+    pairs = [(ch * hw + i * w + j, ch * hw + i * ow + j)
+             for ch in range(c) for i in range(oh) for j in range(ow)]
+    x = gather_by_delta(be, x, pairs)
+    # pass 3b: channels tight (block ch*hw -> ch*oh*ow)
+    blk = oh * ow
+    pairs = [(ch * hw + t, ch * blk + t)
+             for ch in range(c) for t in range(blk)]
+    return gather_by_delta(be, x, pairs)
+
+
+# ---------------------------------------------------------------------------
+# GEMM (BSGS diagonal method) and pooling
+# ---------------------------------------------------------------------------
+
+def gemm_diagonals(weight: np.ndarray) -> np.ndarray:
+    """Extended diagonals of weight [rows, cols] with rows | cols:
+    diag[d][i] = W[i mod rows, (i+d) mod cols], so that
+      z[i] = sum_{d<rows} diag[d][i] * x[(i+d) mod cols]
+    and folding z by rot multiples of `rows` yields y in slots [0, rows).
+    """
+    rows, cols = weight.shape
+    i = np.arange(cols)
+    return np.stack([weight[i % rows, (i + d) % cols]
+                     for d in range(rows)])
+
+
+def gemm(be, x, weight: np.ndarray, bias: np.ndarray):
+    """y = W x + b via the BSGS extended-diagonal method
+    (capability parity with New_gemm_metakernel_fast,
+    tensor2vector_util.cxx:502; own formulation).
+
+    weight: [out_dim, in_dim], out_dim | in_dim (caller zero-pads).
+    x packs in_dim values. Result: slots [0, out_dim) hold y (higher
+    slots contain fold residue; mask downstream if needed).
+    """
+    out_dim, in_dim = weight.shape
+    rows = out_dim
+    assert in_dim % rows == 0
+    xd = dup_input(be, x, in_dim, 2)
+    diags = gemm_diagonals(weight)
+    h1 = 2 ** int(math.ceil(math.log2(max(rows, 1)) / 2))
+    h2 = math.ceil(rows / h1)
+    baby = be.rotations_hoisted(xd, list(range(h1)))
+    acc = None
+    for b2 in range(h2):
+        inner = None
+        for b1 in range(h1):
+            d = b2 * h1 + b1
+            if d >= rows:
+                break
+            # shift diag right by b2*h1 in full slot space (not a roll
+            # within its own length); the giant rotation of the inner
+            # sum then aligns every term at once
+            row = np.concatenate([np.zeros(b2 * h1), diags[d]])
+            term = be.mul_plain(baby[b1], row)
+            inner = term if inner is None else be.add(inner, term)
+        if inner is None:
+            continue
+        inner = be.rotate(inner, b2 * h1)
+        acc = inner if acc is None else be.add(acc, inner)
+    # fold the cols/rows windows down onto slots [0, rows)
+    span = in_dim
+    while span > rows:
+        span //= 2
+        acc = be.add(acc, be.rotate(acc, span))
+    return be.add_plain(acc, bias)
+
+
+def average_pool(be, x, c: int, h: int, w: int, k: int):
+    """k x k average pooling with stride k (NCHW packed)."""
+    # avg-pool taps read (i*k+di, j*k+dj), anchored top-left (no padding)
+    hw = h * w
+    m2 = np.zeros((h, w))
+    m2[::k, ::k] = 1.0 / (k * k)
+    mask = np.tile(m2.reshape(-1), c)
+    acc = None
+    rotated = be.rotations_hoisted(x, [di * w + dj
+                                       for di in range(k) for dj in range(k)])
+    for r in rotated:
+        term = be.mul_plain(r, mask)
+        acc = term if acc is None else be.add(acc, term)
+    return compact_strided(be, acc, c, h, w, k)
+
+
+def global_average_pool(be, x, c: int, h: int, w: int):
+    """Mean over each channel's h*w block -> c values at stride h*w,
+    then compacted to the first c slots."""
+    hw = h * w
+    acc = x
+    step = 1
+    while step < hw:
+        acc = be.add(acc, be.rotate(acc, step))
+        step *= 2
+    mask = np.zeros(c * hw)
+    mask[::hw] = 1.0 / hw
+    acc = be.mul_plain(acc, mask)
+    # compact c values at stride hw into the first c slots
+    return gather_by_delta(be, acc, [(ch * hw, ch) for ch in range(c)])
