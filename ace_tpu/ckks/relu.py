@@ -1,0 +1,80 @@
+"""ReLU under CKKS: composite-polynomial sign approximation.
+
+relu(x) = 0.5 * x * (sign(x) + 1), with sign approximated by a chain of
+Chebyshev-basis polynomials evaluated via Paterson-Stockmeyer, exactly
+as the reference lowers NN RELU (fhe-cmplr/sihe/src/
+tensor2sihe_impl.cxx:306-344 APP_RELU_FUNC_GEN::Gen_func_body).
+
+Coefficient tables are the reference's numeric constants
+(fhe-cmplr/util/src/app_composite_poly.cxx:72-180): composite sign
+polynomials in the Chebyshev basis at mul_depth 11 (alfa=6) and 13
+(alfa=9). Inputs are pre-scaled by 1/value_range into [-1, 1]
+(the -SIHE:relu_vr mechanism).
+"""
+
+from __future__ import annotations
+
+from ace_tpu.ckks.cheby import ChebyEvaluator
+from ace_tpu.ckks.cipher import Ciphertext
+
+# fhe-cmplr/util/src/app_composite_poly.cxx:74-127 (depth 11, alfa 6)
+SIGN_CHEBYSHEV_DEPTH11 = [
+    [0.0, 1.277209679957775013e+00, 0.0, -4.369818210105346212e-01,
+     0.0, 2.781705762612975419e-01, 0.0, -9.522998581241576277e-01],
+    [0.0, 1.336811809725395372e+00, 0.0, -3.314086854871873267e-01,
+     0.0, 2.739009935511804161e-01, 0.0, -2.096678512577555831e-01,
+     0.0, 6.827141455300124451e-02, 0.0, -1.036056317926726048e-02,
+     0.0, 7.381161118162535544e-04, 0.0, -2.000350671563594715e-05],
+    [0.0, 1.229917329338358289e+00, 0.0, -3.099894039867301943e-01,
+     0.0, 1.047929208484282559e-01, 0.0, -3.040264421328875422e-02,
+     0.0, 6.507995190210730772e-03, 0.0, -8.815509689332230855e-04,
+     0.0, 5.555595810150389487e-05],
+]
+
+# fhe-cmplr/util/src/app_composite_poly.cxx:130-180 (depth 13, alfa 9)
+SIGN_CHEBYSHEV_DEPTH13 = [
+    [0.0, 1.274244441439567055e+00, 0.0, -4.274610154279958607e-01,
+     0.0, 2.598417608934820988e-01, 0.0, -1.894160321998888952e-01,
+     0.0, 1.516157904980795224e-01, 0.0, -1.289471808964555988e-01,
+     0.0, 1.148389592593351827e-01, 0.0, -1.006755030034787834e+00],
+    [0.0, 1.504797731281392936e+00, 0.0, -1.262993831946355172e-01,
+     0.0, 5.310374803122150933e-01, 0.0, -4.763164287058726520e-01,
+     0.0, 1.404090303951424090e-01, 0.0, -1.856485351687612792e-02,
+     0.0, 1.142402954164560992e-03, 0.0, -2.667926441648920576e-05],
+    [0.0, 1.258870573407572691e+00, 0.0, -3.830661449095234539e-01,
+     0.0, 1.909371044429533648e-01, 0.0, -1.025700865042690896e-01,
+     0.0, 5.364833181833868897e-02, 0.0, -2.602904444646918572e-02,
+     0.0, 1.119529495100999271e-02, 0.0, -3.976394146723259693e-03,
+     0.0, 1.080475747158062428e-03, 0.0, -2.115428631766840754e-04,
+     0.0, 2.840163212584644305e-05, 0.0, -2.461531419370990484e-06,
+     0.0, 1.235599278444410819e-07, 0.0, -2.723078631019510824e-09],
+]
+
+SIGN_TABLES = {11: SIGN_CHEBYSHEV_DEPTH11, 13: SIGN_CHEBYSHEV_DEPTH13}
+
+
+def sign_composite(ev, ct: Ciphertext, mul_depth: int = 13) -> Ciphertext:
+    """sign(x) for x in [-1, 1] via the composite Chebyshev chain."""
+    cheby = ChebyEvaluator(ev)
+    out = ct
+    for coeffs in SIGN_TABLES[mul_depth]:
+        out = cheby.eval_chebyshev(out, coeffs, -1.0, 1.0)
+    return out
+
+
+def relu(ev, ct: Ciphertext, value_range: float = 1.0,
+         mul_depth: int = 13) -> Ciphertext:
+    """relu(x) = 0.5*x*(sign(x/range) + 1).
+
+    The reference merges the 0.5*x factor into the outermost composite
+    polynomial (tensor2sihe_impl.cxx:322 comment) to save one level;
+    here it costs one extra multiply — semantics identical.
+    """
+    scaled = ct if value_range == 1.0 else \
+        ev.rescale(ev.mul_const(ct, 1.0 / value_range))
+    s = sign_composite(ev, scaled, mul_depth)
+    s1 = ev.add_const(s, 1.0)
+    half_x = ev.rescale(ev.mul_const(ct, 0.5))
+    while half_x.level > s1.level:
+        half_x = ev.mod_switch(half_x)
+    return ev.rescale(ev.mul(half_x, s1))

@@ -1,0 +1,93 @@
+"""Graph executor: run an NNGraph on a slot backend.
+
+The capability analog of the reference's whole lowering pipeline
+(VECTOR -> SIHE -> CKKS passes): each NN op dispatches to the packing
+metakernels; ReLU goes through the composite-sign approximation (with
+optional bootstrap to refresh levels first); scale management is inline
+in the FheBackend. The same executor runs the plain numpy backend for
+validation (the analog of -VEC:rtt runtime validation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ace_tpu.compiler import packing as pk
+from ace_tpu.compiler.onnx_front import NNGraph
+
+
+class GraphRunner:
+    def __init__(self, graph: NNGraph, backend,
+                 relu_ranges: dict | None = None,
+                 relu_range_default: float = 3.0,
+                 relu_mul_depth: int = 13,
+                 bootstrap_before_relu: bool = False):
+        self.g = graph
+        self.be = backend
+        self.relu_ranges = relu_ranges or {}
+        self.relu_range_default = relu_range_default
+        self.relu_mul_depth = relu_mul_depth
+        self.bootstrap_before_relu = bootstrap_before_relu
+
+    def run(self, x):
+        """x: packed input handle (plain vector or ciphertext) holding
+        the NCHW-flattened image."""
+        be = self.be
+        env = {self.g.input_name: x}
+        for op in self.g.ops:
+            xin = env[op.inputs[0]]
+            if op.op_type == "Conv":
+                w = np.asarray(self.g.weights[op.inputs[1]], np.float64)
+                b = (np.asarray(self.g.weights[op.inputs[2]], np.float64)
+                     if len(op.inputs) > 2 else np.zeros(w.shape[0]))
+                stride = op.attrs.get("strides", [1, 1])[0]
+                _, _, h, wd = op.in_shape
+                out = pk.conv2d(be, xin, w, b, h, wd, stride)
+            elif op.op_type == "Relu":
+                out = self._relu(xin, op)
+            elif op.op_type == "Add":
+                out = be.add(xin, env[op.inputs[1]])
+            elif op.op_type == "Mul":
+                out = be.mul(xin, env[op.inputs[1]])
+            elif op.op_type == "GlobalAveragePool":
+                _, c, h, wd = op.in_shape
+                out = pk.global_average_pool(be, xin, c, h, wd)
+            elif op.op_type in ("AveragePool", "MaxPool"):
+                # reference maps MaxPool to AveragePool under FHE
+                # (t2vslice_handler.h:92-95)
+                _, c, h, wd = op.in_shape
+                k = op.attrs["kernel_shape"][0]
+                out = pk.average_pool(be, xin, c, h, wd, k)
+            elif op.op_type in ("Reshape", "Flatten"):
+                out = xin
+            elif op.op_type == "Gemm":
+                w = np.asarray(self.g.weights[op.inputs[1]], np.float64)
+                if op.attrs.get("transB", 0) == 0:
+                    w = w.T
+                b = (np.asarray(self.g.weights[op.inputs[2]], np.float64)
+                     if len(op.inputs) > 2 else np.zeros(w.shape[0]))
+                out_dim, in_dim = w.shape
+                rows = 1
+                while rows < out_dim:
+                    rows *= 2
+                w_pad = np.zeros((rows, in_dim))
+                w_pad[:out_dim] = w
+                b_pad = np.zeros(rows)
+                b_pad[:out_dim] = b
+                out = pk.gemm(be, xin, w_pad, b_pad)
+            else:
+                raise NotImplementedError(op.op_type)
+            env[op.outputs[0]] = out
+        return env[self.g.output_name]
+
+    def _relu(self, xin, op):
+        be = self.be
+        if isinstance(be, pk.PlainBackend):
+            return be.relu(xin)
+        from ace_tpu.ckks import relu as relu_mod
+        ev = be.ev
+        vr = self.relu_ranges.get(op.name, self.relu_range_default)
+        ct = be._norm(xin)
+        if self.bootstrap_before_relu:
+            ct = ev.bootstrap(ct)
+        return relu_mod.relu(ev, ct, vr, self.relu_mul_depth)

@@ -189,17 +189,18 @@ def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
     """Encrypted conv2d ('same' padding). x packs [c_in, h, w] NCHW.
 
     Returns packed [c_out, h/stride, w/stride] (compacted if stride>1).
+    Dispatches to the rotation-cheap fast path (khw + c_in rotations)
+    when c_out >= c_in, else the plain tap path (c_in*khw rotations) —
+    mirroring the reference's Conv_fast policy
+    (tensor2vector_handler.h:275-285).
     """
-    c_out, c_in, kh, kw = weight.shape
+    c_out = weight.shape[0]
+    c_in = weight.shape[1]
     hw = h * w
-    copies = math.ceil((c_out + c_in) / c_in)  # reads up to (c_in-1)+c_out chans
-    xd = dup_input(be, x, c_in * hw, max(copies, 2))
-    rots, W = conv_tap_weights(weight, h, w, stride)
-    rotated = be.rotations_hoisted(xd, rots)
-    acc = None
-    for r, row in zip(rotated, W):
-        term = be.mul_plain(r, row)
-        acc = term if acc is None else be.add(acc, term)
+    if c_out >= c_in:
+        acc = _conv2d_fast(be, x, weight, h, w)
+    else:
+        acc = _conv2d_taps(be, x, weight, h, w)
     bias_vec = np.repeat(bias, hw)
     if stride > 1:
         mask = stride_mask(h, w, stride)
@@ -209,6 +210,85 @@ def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
         acc = compact_strided(be, acc, c_out, h, w, stride)
     else:
         acc = be.add_plain(acc, bias_vec)
+    return acc
+
+
+def _conv2d_taps(be, x, weight: np.ndarray, h: int, w: int):
+    """Plain tap path: one rotation per (ci, k) tap."""
+    c_out, c_in, kh, kw = weight.shape
+    hw = h * w
+    copies = math.ceil((c_out + c_in) / c_in)
+    assert c_in * hw * max(copies, 2) <= be.n_slots, "slot overflow"
+    xd = dup_input(be, x, c_in * hw, max(copies, 2))
+    rots, W = conv_tap_weights(weight, h, w)
+    rotated = be.rotations_hoisted(xd, rots)
+    acc = None
+    for r, row in zip(rotated, W):
+        term = be.mul_plain(r, row)
+        acc = term if acc is None else be.add(acc, term)
+    return acc
+
+
+def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
+    """Fast path (New_conv_metakernel_fast, tensor2vector_util.cxx:307):
+
+      xd = dup(x, c_out/c_in)                 # c_out*hw slots
+      roll_k = rot(xd, ra[k])                 # khw hoisted rotations
+      for ci: r_ci = sum_k roll_k * W'[ci,k]  # plaintext MACs
+              acc += rot(dup2(r_ci), ci*hw)   # c_in output rotations
+      acc *= valid-region mask                # clear dup junk
+
+    where W'[ci,k][m*hw+pos] = weight[(m-ci) mod c_out, m mod c_in, k]
+    (the per-output-channel weight rotation of Handle_conv's conv_fast
+    block, tensor2vector_handler.h:218-229). c_in is zero-padded until
+    it divides c_out (ibid.:172-190).
+    """
+    c_out, c_in0, kh, kw = weight.shape
+    c_in = c_in0
+    while c_out % c_in:
+        c_in += 1
+    if c_in != c_in0:
+        wpad = np.zeros((c_out, c_in, kh, kw))
+        wpad[:, :c_in0] = weight
+        weight = wpad
+    hw = h * w
+    L = c_out * hw
+    dup_num = c_out // c_in
+    assert L <= be.n_slots, "slot overflow"
+    xd = dup_input(be, x, c_in * hw, dup_num) if dup_num > 1 else x
+
+    ra = conv_ra_offsets(kh, kw, w)
+    p = (kh - 1) // 2
+    pos_i, pos_j = np.divmod(np.arange(hw), w)
+    rolls = be.rotations_hoisted(xd, ra)
+
+    m_idx = np.arange(c_out)
+    acc = None
+    for ci in range(c_in):
+        r_ci = None
+        for k, off in enumerate(ra):
+            di, dj = divmod(k, kw)
+            src_i = pos_i + (di - p)
+            src_j = pos_j + (dj - p)
+            valid = ((src_i >= 0) & (src_i < h) &
+                     (src_j >= 0) & (src_j < w)).astype(np.float64)
+            wvals = weight[(m_idx - ci) % c_out, m_idx % c_in, di, dj]
+            row = (wvals[:, None] * valid[None, :]).reshape(-1)
+            term = be.mul_plain(rolls[k], row)
+            r_ci = term if r_ci is None else be.add(r_ci, term)
+        if ci == 0:
+            acc = r_ci if acc is None else be.add(acc, r_ci)
+            continue
+        if 2 * L <= be.n_slots:
+            r_dup = be.add(r_ci, be.rotate(r_ci, -L))
+        else:
+            assert L == be.n_slots, "slot overflow in conv_fast dup"
+            r_dup = r_ci  # full ring: rotation wraps naturally
+        acc = be.add(acc, be.rotate(r_dup, ci * hw))
+    # clear junk beyond the c_out*hw valid region left by the dup2 copies
+    if c_in > 1 and 2 * L <= be.n_slots and L < be.n_slots:
+        mask = np.ones(L)
+        acc = be.mul_plain(acc, mask)
     return acc
 
 

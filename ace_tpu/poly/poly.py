@@ -270,6 +270,35 @@ def mod_down(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
     return RnsPoly(out, level, 0, a.is_ntt)
 
 
+def switch_modulus_data(data, old_q: int, new_qs: list[int]):
+    """Centered base switch of [1, N] residues mod old_q to each new
+    modulus (fhe_utils.h:352-377 Switch_modulus), vectorized over the
+    target limb axis. Returns [len(new_qs), N]."""
+    half = jnp.uint64(old_q >> 1)
+    diffs = []
+    for qi in new_qs:
+        if qi > old_q:
+            diffs.append(qi - old_q)
+        else:
+            diffs.append(qi - (old_q % qi))
+    diff = jnp.asarray(modops.np_u64([[d] for d in diffs]))
+    new_q = jnp.asarray(modops.np_u64([[q] for q in new_qs]))
+    sm = data + jnp.where(data > half, diff, jnp.uint64(0))
+    return jnp.where(sm >= new_q, sm % new_q, sm)
+
+
+def mod_raise(a: RnsPoly, ctx: CrtContext, target_level: int) -> RnsPoly:
+    """Raise a level-1 coefficient-form poly to target_level limbs by
+    centered lifting mod each q_i (Transform_values_from_level0,
+    ckks_bootstrap_context.c:1527-1550)."""
+    assert not a.is_ntt and a.num_q == 1 and a.num_p == 0
+    q0 = ctx.q_primes[0]
+    rest = switch_modulus_data(a.data[:1], q0,
+                               ctx.q_primes[1:target_level])
+    return RnsPoly(jnp.concatenate([a.data[:1], rest], axis=0),
+                   target_level, 0, False)
+
+
 # ---------------------------------------------------------------------------
 # Rescale
 # ---------------------------------------------------------------------------
