@@ -281,18 +281,25 @@ class BootstrapContext:
         self.q0 = q0
         self.deg = round(math.log2(q0 / params.scaling_factor))
 
-        self.enc_coeff = coeff_collapse(ksipows, rot_group, budget_enc,
-                                        False, True)
-        self.dec_coeff = coeff_collapse(ksipows, rot_group, budget_dec,
-                                        False, False)
-
         hw = params.hamming_weight
         if 0 < hw <= 192:
             self.sine_coeffs = SINE_COEFFS_HW_192
             self.double_angle = R_UNIFORM_HW_192
+            self.k_bound = K_UNIFORM_HW_192
         else:
             self.sine_coeffs = SINE_COEFFS_UNIFORM
             self.double_angle = R_UNIFORM
+            self.k_bound = K_UNIFORM
+
+        self.enc_coeff = coeff_collapse(ksipows, rot_group, budget_enc,
+                                        False, True)
+        self.dec_coeff = coeff_collapse(ksipows, rot_group, budget_dec,
+                                        False, False)
+        # pre-normalize the encoding matrices by 1/(N * K * 2^deg),
+        # distributed per level (ckks_bootstrap_context.c:828-858)
+        factor = 1.0 / n / self.k_bound / (2.0 ** self.deg)
+        factor = factor ** (1.0 / budget_enc)
+        self.enc_coeff = [c * factor for c in self.enc_coeff]
 
     # -- homomorphic encoding/decoding ----------------------------------
 

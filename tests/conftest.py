@@ -13,4 +13,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; force the
+# CPU backend through the config (must happen before backend init).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
