@@ -155,6 +155,11 @@ class KeyGenerator:
                 self.sk.ntt_sk, rotated)
         return auto_idx, self._rot_keys[auto_idx]
 
+    def all_keys(self) -> list[SwitchKey]:
+        """Every evaluation key held (for the key-memory report,
+        context.c:100-107)."""
+        return [self.relin_key] + list(self._rot_keys.values())
+
     def conj_key(self) -> tuple[int, SwitchKey]:
         """Conjugation key (auto index 2N-1)."""
         n = self.params.degree

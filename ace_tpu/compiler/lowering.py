@@ -81,13 +81,6 @@ class GraphRunner:
         return env[self.g.output_name]
 
     def _relu(self, xin, op):
-        be = self.be
-        if isinstance(be, pk.PlainBackend):
-            return be.relu(xin)
-        from ace_tpu.ckks import relu as relu_mod
-        ev = be.ev
         vr = self.relu_ranges.get(op.name, self.relu_range_default)
-        ct = be._norm(xin)
-        if self.bootstrap_before_relu:
-            ct = ev.bootstrap(ct)
-        return relu_mod.relu(ev, ct, vr, self.relu_mul_depth)
+        return self.be.relu(xin, vr, self.relu_mul_depth,
+                            self.bootstrap_before_relu)

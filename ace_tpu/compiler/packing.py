@@ -57,7 +57,8 @@ class PlainBackend:
     def rotations_hoisted(self, v, ks):
         return [self.rotate(v, k) for k in ks]
 
-    def relu(self, v):
+    def relu(self, v, value_range: float = 3.0, mul_depth: int = 13,
+             bootstrap: bool = False):
         return np.maximum(v, 0)
 
     def square(self, v):
@@ -75,10 +76,11 @@ class FheBackend:
     multiply when their scale degree exceeds 1.
     """
 
-    def __init__(self, evaluator, encoder):
+    def __init__(self, evaluator, encoder, bootstrap_fn=None):
         self.ev = evaluator
         self.enc = encoder
         self.n_slots = evaluator.params.degree // 2
+        self.bootstrap_fn = bootstrap_fn
 
     def _norm(self, ct):
         while ct.sf_degree > 1:
@@ -120,6 +122,18 @@ class FheBackend:
     def square(self, a):
         a = self._norm(a)
         return self.ev.mul(a, a)
+
+    def relu(self, ct, value_range: float = 3.0, mul_depth: int = 13,
+             bootstrap: bool = False):
+        """ReLU via bootstrap + composite sign approximation (the SIHE
+        pass's Handle_relu lowering, tensor2sihe_impl.h:133-176)."""
+        from ace_tpu.ckks import relu as relu_mod
+        ct = self._norm(ct)
+        if bootstrap:
+            if self.bootstrap_fn is None:
+                raise RuntimeError("backend has no bootstrap context")
+            ct = self.bootstrap_fn(ct)
+        return relu_mod.relu(self.ev, ct, value_range, mul_depth)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Runtime context: one-stop setup/teardown for encrypted inference.
+
+TPU-native analog of the reference's rtlib context layer
+(fhe-cmplr/rtlib/ant/src/rtlib/context.c Prepare_context:29-86,
+Finalize_context:88-138) plus the io_api client/server split
+(common/include/io_api.h:21-38): the *client* holds the secret key and
+does encode/encrypt/decrypt on the host; the *server* holds only
+evaluation keys and runs the encrypted graph on the device. In-process
+the boundary is the same indirection the reference uses, designed so
+cipher exchange can become RPC later.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ace_tpu.ckks.params import CkksParams
+from ace_tpu.runtime.timing import TIMING
+
+
+class FheContext:
+    """Prepare params -> keys -> encoder/evaluator (+ bootstrap)."""
+
+    def __init__(self, params: CkksParams = None, *, scheme_info=None,
+                 seed: int = 0, bootstrap_slots: tuple = (),
+                 level_budget=(3, 3)):
+        from ace_tpu.ckks.encoder import Encoder
+        from ace_tpu.ckks.keygen import KeyGenerator
+        from ace_tpu.ckks.evaluator import Evaluator
+
+        if params is None:
+            si = scheme_info
+            params = CkksParams(
+                degree=si.poly_degree, num_q=si.mul_level + 1,
+                first_mod_size=si.first_mod_size,
+                scaling_mod_size=si.scaling_mod_size,
+                hamming_weight=si.hamming_weight,
+                num_q_parts=si.q_part_num)
+        self.params = params
+        with TIMING.tm("RTM_PREPARE_CONTEXT"):
+            self.encoder = Encoder(params)
+            self.keygen = KeyGenerator(params, np.random.default_rng(seed))
+            self.evaluator = Evaluator(params, self.keygen, self.encoder)
+            self._bts = {}
+            for slots in bootstrap_slots:
+                self.bootstrap_precom(slots, level_budget)
+        self.pt_mgr = None
+        self._io_inputs: dict[str, object] = {}
+        self._io_outputs: dict[str, object] = {}
+
+    # -- bootstrap precompute (context.c:162-185) -----------------------
+
+    def bootstrap_precom(self, slots: int = 0, level_budget=(3, 3)):
+        from ace_tpu.ckks.bootstrap import BootstrapContext
+        slots = slots or self.params.degree // 2
+        if slots not in self._bts:
+            with TIMING.tm("RTM_BS_SETUP"):
+                self._bts[slots] = BootstrapContext(
+                    self.evaluator, slots, level_budget)
+        return self._bts[slots]
+
+    def bootstrap(self, ct, raise_level: int = 0):
+        """Bootstrap with lazy per-slot-count precompute
+        (cipher_eval.c:366-380)."""
+        with TIMING.tm("RTM_BOOTSTRAP"):
+            return self.bootstrap_precom(ct.slots).bootstrap(ct, raise_level)
+
+    # -- weight manager ---------------------------------------------------
+
+    def open_weight_file(self, path: str):
+        from ace_tpu.runtime.rt_data import RtDataReader, PtManager
+        self.pt_mgr = PtManager(RtDataReader(path), self.encoder)
+        return self.pt_mgr
+
+    # -- client side (io_api): encode/encrypt/decrypt --------------------
+
+    def prepare_input(self, tensor: np.ndarray, name: str):
+        """Encode+encrypt an input tensor and post it to the server-side
+        input queue (Prepare_input + Io_set_input)."""
+        with TIMING.tm("RTM_ENCODE_ARRAY"):
+            flat = np.asarray(tensor, dtype=np.float64).reshape(-1)
+            slots = self.params.degree // 2
+            msg = np.zeros(slots, dtype=np.complex128)
+            msg[:flat.size] = flat
+            pt = self.encoder.encode(msg)
+        ct = self.evaluator.encrypt(pt)
+        self._io_inputs[name] = ct
+        return ct
+
+    def get_input_data(self, name: str):
+        """Server-side fetch (Get_input_data)."""
+        return self._io_inputs[name]
+
+    def set_output_data(self, name: str, ct):
+        """Server-side post (Set_output_data)."""
+        self._io_outputs[name] = ct
+
+    def handle_output(self, name: str, length: int = 0) -> np.ndarray:
+        """Client-side decrypt+decode (Handle_output)."""
+        ct = self._io_outputs[name]
+        pt = self.evaluator.decrypt(ct)
+        return self.encoder.decode(pt, length).real
+
+    # -- reporting (Finalize_context) -------------------------------------
+
+    def key_memory_bytes(self) -> int:
+        """Total evaluation-key device memory (context.c:100-107)."""
+        total = 0
+        for key in self.keygen.all_keys():
+            for kp in (key.b, key.a):
+                for p in (kp if isinstance(kp, (list, tuple)) else [kp]):
+                    total += p.data.size * p.data.dtype.itemsize
+        return total
+
+    def finalize(self) -> str:
+        with TIMING.tm("RTM_FINALIZE_CONTEXT"):
+            report = ["[RT_STAT] key memory: %.1f MB"
+                      % (self.key_memory_bytes() / 2**20)]
+            report.append(TIMING.report())
+        return "\n".join(report)

@@ -29,6 +29,7 @@ def test_fft_params_budget3():
     assert p["rem_coll"] == 1 and p["num_rot"] == 7
 
 
+@pytest.mark.slow
 def test_bootstrap_fully_packed(ctx):
     params, enc, kg, ev = ctx
     rng = np.random.default_rng(4)

@@ -1,0 +1,74 @@
+"""Parameter-selection policy tests (mirrors the reference's
+scheme_info tables, fhe-cmplr/core/src/scheme_info.cxx + _ana.cxx)."""
+
+import numpy as np
+
+from ace_tpu.compiler import scheme_info as si
+from ace_tpu.compiler.onnx_front import NNOp, NNGraph
+
+
+def graph_of(ops_shapes):
+    """Build a linear NNGraph of (op_type, out_shape) pairs."""
+    ops = []
+    prev = "input"
+    for i, (ty, shape) in enumerate(ops_shapes):
+        name = f"op{i}"
+        ops.append(NNOp(ty, name, [prev], [name + "_out"], {},
+                        in_shape=None, out_shape=shape))
+        prev = name + "_out"
+    return NNGraph(ops, {}, "input", (1, 3, 32, 32), prev)
+
+
+def test_bootstrap_depth_by_hamming_weight():
+    assert si.bootstrap_mul_depth(192) == 15
+    assert si.bootstrap_mul_depth(0) == 19
+    assert si.bootstrap_mul_depth(256) == 19
+
+
+def test_q_part_policy():
+    assert si.q_part_num_policy(0) == 1
+    assert si.q_part_num_policy(2) == 2
+    assert si.q_part_num_policy(4) == 3
+
+
+def test_prime_info_tables():
+    # low level -> 33/30; high level at 2^16 -> 60/59 (scheme_info.cxx)
+    assert si.prime_info_policy(5, 1 << 16) == (33, 30)
+    assert si.prime_info_policy(20, 1 << 16) == (60, 59)
+    assert si.prime_info_policy(20, 1 << 13) == (60, 59)
+    assert si.prime_info_policy(20, 1 << 10) == (60, 56)
+
+
+def test_resnet20_params_match_reference():
+    """End-to-end policy on the real model. The reference compiles the
+    ResNets with sec_level=HE_STD_NOT_SET, mul_depth=33, q_parts=3,
+    hamming weight 192 (dataset/resnet20_cifar10_pre.onnx.inc
+    Get_context_params) and q0=60/Delta=56 from the build script
+    (build_resnet20_cifar10.sh:13)."""
+    from ace_tpu.compiler.onnx_front import load_onnx
+    g = load_onnx("/root/reference/model/resnet20_cifar10_pre.onnx")
+    cfg = si.SchemeConfig(security_level=0, hamming_weight=192,
+                          first_mod_size=60, scaling_mod_size=56)
+    info = si.select_params(g, cfg)
+    assert info.poly_degree == 1 << 16  # stride-2 convs: 32*32*32 slots
+    assert info.first_mod_size == 60 and info.scaling_mod_size == 56
+    assert info.bootstrap_depth == 15
+    assert info.q_part_num == 3
+    assert info.mul_level == 33  # matches the reference exactly
+
+
+def test_depth_accumulates_without_bootstrap():
+    g = graph_of([("Conv", (1, 16, 32, 32)), ("Conv", (1, 16, 32, 32)),
+                  ("GlobalAveragePool", (1, 16, 1, 1))])
+    cfg = si.SchemeConfig(security_level=0, use_bootstrap=False)
+    lvl, msg = si.analyze_graph_depth(g, cfg)
+    assert lvl == 4 + 4 + 1
+    assert msg == 16 * 32 * 32
+
+
+def test_unconstrained_degree_from_msg_len():
+    g = graph_of([("Conv", (1, 2, 4, 4))])
+    cfg = si.SchemeConfig(security_level=0, use_bootstrap=False)
+    info = si.select_params(g, cfg)
+    # msg len 3*32*32=3072 -> degree 2<<12
+    assert info.poly_degree == 2 << 12
