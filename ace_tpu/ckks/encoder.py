@@ -110,13 +110,18 @@ class Encoder:
     # -- encode / decode -------------------------------------------------
 
     def encode(self, values, level: int = 0, slots: int = 0,
-               sf_degree: int = 1) -> Plaintext:
+               sf_degree: int = 1, extended: bool = False) -> Plaintext:
         """Encode complex slot values at (level, scale^sf_degree).
 
         Replicates Encode_impl (ckks_encoder.c:199-300): embedding_inv,
         llround(x*Delta + 0.5), slot->coefficient interleave with
         gap = N/(2*slots), RNS transform, optional Delta^(sf_degree-1)
         multiply, final NTT.
+
+        extended: also carry residues over the P primes, so the
+        plaintext can multiply extended-basis (QP) ciphertexts inside
+        hoisted rotation accumulations (the reference encodes weights
+        per-level the same way for its ext BSGS loops).
         """
         params = self.params
         crt = params.crt
@@ -142,15 +147,16 @@ class Encoder:
             message[(i + slots) * gap] = int(math.floor(si + 0.5)) if si >= 0 \
                 else -int(math.floor(-si + 0.5))
 
+        primes = crt.q_primes[:level] + (crt.p_primes if extended else [])
         data = np.stack([
             modops.np_u64([c % q for c in message])
-            for q in crt.q_primes[:level]])
-        p = RnsPoly(jnp.asarray(data), level, 0, False)
+            for q in primes])
+        p = RnsPoly(jnp.asarray(data), level,
+                    crt.num_p if extended else 0, False)
         if sf_degree > 1:
             idelta = int(delta)
             p = P.mul_scalars(
-                p, [pow(idelta, sf_degree - 1, q)
-                    for q in crt.q_primes[:level]], crt)
+                p, [pow(idelta, sf_degree - 1, q) for q in primes], crt)
         p = P.to_ntt(p, crt)
         return Plaintext(p, delta ** sf_degree, sf_degree, slots)
 

@@ -272,6 +272,62 @@ class Evaluator:
                                   a.scaling_factor, a.sf_degree, a.slots))
         return out
 
+    # -- extended-basis (QP) rotation accumulation ------------------------
+    # The reference's mod-up + mod-down hoisting (ut_ksw_opt.cxx:349-375,
+    # Fast_rotate_ext ckks_evaluator.c:539-575, and the bootstrap BSGS
+    # loops ckks_bootstrap_context.c:1288-1365): many rotations of one
+    # ciphertext share a single digit decompose/mod-up, accumulate in the
+    # extended QP basis, and pay ONE mod-down at the end.
+
+    def _p_scale(self, poly: RnsPoly, ext: bool = False) -> RnsPoly:
+        """x -> x*P over Q limbs (+ zero P limbs if ext): the embedding
+        of a Q-basis poly into the QP basis (Switch_key_ext's
+        Scalars_integer_multiply_poly by Get_pmodq)."""
+        crt = self.crt
+        scal = [crt.big_p % q for q in crt.q_primes[:poly.num_q]]
+        out = P.mul_scalars(poly, scal, crt)
+        if ext:
+            zeros = jnp.zeros((crt.num_p, poly.degree), dtype=jnp.uint64)
+            out = RnsPoly(jnp.concatenate([out.data, zeros], axis=0),
+                          poly.num_q, crt.num_p, poly.is_ntt)
+        return out
+
+    def to_ext(self, a: Ciphertext) -> Ciphertext:
+        """Embed a Q-basis ciphertext into the QP basis (x*P, zero P
+        rows); mod_down_ciph inverts it exactly."""
+        return Ciphertext(self._p_scale(a.c0, True), self._p_scale(a.c1, True),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def rotate_ext(self, a: Ciphertext, rotation: int, digits=None,
+                   add_first: bool = True) -> Ciphertext:
+        """Rotation in the extended basis (Fast_rotate_ext). `digits`
+        are shared switch-key digits from switch_key_precompute(a.c1)."""
+        if digits is None:
+            digits = self._switch_key_digits(a.c1)
+        auto_idx, key = self.keygen.rot_key(rotation)
+        crt = self.crt
+        e0, e1 = self._switch_key_ext(key, digits, a.c1.num_q)
+        if add_first:
+            c0p = self._p_scale(a.c0)
+            level = a.c0.num_q
+            q, _, _ = crt.mod_arrays(range(level))
+            top = modops.add_mod(e0.data[:level], c0p.data, q)
+            e0 = RnsPoly(jnp.concatenate([top, e0.data[level:]], axis=0),
+                         e0.num_q, e0.num_p, e0.is_ntt)
+        return Ciphertext(P.automorphism(e0, auto_idx, crt),
+                          P.automorphism(e1, auto_idx, crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def mod_down_ciph(self, a: Ciphertext) -> Ciphertext:
+        """QP -> Q: one Reduce_rns_base per component."""
+        return Ciphertext(P.mod_down(a.c0, self.crt),
+                          P.mod_down(a.c1, self.crt),
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def switch_key_precompute(self, poly: RnsPoly) -> list:
+        """Shared digit decompose + mod-up (Switch_key_precompute)."""
+        return self._switch_key_digits(poly)
+
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         auto_idx, key = self.keygen.conj_key()
         crt = self.crt

@@ -204,15 +204,33 @@ def min_poly_degree_for_bits(bits: int, security_level: int) -> int:
 
 
 def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
-    """The full SCHEME_INFO_ANA::Run policy for one NN graph."""
+    """The full SCHEME_INFO_ANA::Run policy for one NN graph.
+
+    Depth comes from exact symbolic execution of the packed program
+    (level_sim.required_levels) rather than the reference's hand-kept
+    per-op constants, so the selected chain can never underrun our
+    metakernels' true rescale counts."""
+    from ace_tpu.compiler import level_sim
+
     cfg = cfg or SchemeConfig()
-    ana_level, msg_len = analyze_graph_depth(graph, cfg)
-    mul_level = ana_level
-    if cfg.use_bootstrap:
-        mul_level += bootstrap_mul_depth(cfg.hamming_weight)
+    _, msg_len = analyze_graph_depth(graph, cfg)
 
     # minimum degree to pack the longest message (msg_len <= N/2)
     poly_degree = 2 << math.ceil(math.log2(max(msg_len, 2)))
+
+    while True:
+        try:
+            segment = level_sim.required_levels(
+                graph, poly_degree // 2, relu_ranges=cfg.relu_ranges,
+                relu_range_default=cfg.relu_value_range,
+                relu_mul_depth=cfg.relu_mul_depth,
+                use_bootstrap=cfg.use_bootstrap)
+            break
+        except AssertionError:
+            poly_degree *= 2  # packing needed more slot headroom
+    mul_level = segment
+    if cfg.use_bootstrap:
+        mul_level += level_sim.bootstrap_depth(cfg.hamming_weight)
 
     if cfg.security_level:
         prev = 0

@@ -109,6 +109,48 @@ void ckks_ntt_inv(uint64_t* d, const uint64_t* rou_inv,
   }
 }
 
+/* Geometric power table: out[i] = base^i mod q, i in [0, n).
+ * Host-side twiddle-table builder for the 4-step NTT (the Python
+ * big-int loop is ~100x slower for N=2^16 x 44 limbs). */
+void ckks_pow_table(uint64_t base, uint64_t q, uint64_t* out, size_t n) {
+  uint64_t acc = 1 % q;
+  for (size_t i = 0; i < n; i++) {
+    out[i] = acc;
+    acc = (uint64_t)(((u128)acc * base) % q);
+  }
+}
+
+/* Shoup precompute batch: out[i] = floor(w[i] * 2^64 / q). */
+void ckks_shoup_prec(const uint64_t* w, uint64_t q, uint64_t* out, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    out[i] = (uint64_t)(((u128)w[i] << 64) / q);
+  }
+}
+
+/* Outer-product power table: out[u*c + b] = base^(u*b) mod q for
+ * u in [0, r), b in [0, c) — the 4-step inter-DFT twiddle matrix,
+ * with rows emitted in the order given by row_order (bit-reversed u). */
+void ckks_twiddle_matrix(uint64_t base, uint64_t q, const uint32_t* row_order,
+                         size_t r, size_t c, uint64_t* out) {
+  for (size_t u = 0; u < r; u++) {
+    /* row u holds powers of base^u */
+    uint64_t step = 1 % q;
+    uint64_t bu = base;
+    size_t e = u;
+    while (e) { /* base^u by square-and-multiply */
+      if (e & 1) step = (uint64_t)(((u128)step * bu) % q);
+      bu = (uint64_t)(((u128)bu * bu) % q);
+      e >>= 1;
+    }
+    uint64_t* row = out + (size_t)row_order[u] * c;
+    uint64_t acc = 1 % q;
+    for (size_t b = 0; b < c; b++) {
+      row[b] = acc;
+      acc = (uint64_t)(((u128)acc * step) % q);
+    }
+  }
+}
+
 /* Hybrid key-switch inner MAC for one digit over one limb:
  * acc += key_limb ⊙ raised_limb (mod q). The per-op hot loop of
  * rotations/relinearization (ckks_evaluator.c Fast_switch_key_ext). */

@@ -30,7 +30,8 @@ class NttTables(NamedTuple):
     """Per-limb NTT twiddle tables for a fixed set of primes (device arrays).
 
     Shapes: rou/rou_prec/rou_inv/rou_inv_prec [L, N]; q/n_inv/n_inv_prec
-    [L, 1]; barrett mu words [L, 1].
+    [L, 1]; barrett mu words [L, 1]. `four_step` optionally carries the
+    Pallas 4-step kernel tables (ops/ntt4.py) used on TPU for large N.
     """
     q: jnp.ndarray
     rou: jnp.ndarray
@@ -41,10 +42,34 @@ class NttTables(NamedTuple):
     n_inv_prec: jnp.ndarray
     mu_hi: jnp.ndarray
     mu_lo: jnp.ndarray
+    four_step: object = None
 
     @property
     def degree(self) -> int:
         return self.rou.shape[-1]
+
+
+# minimum degree for the Pallas 4-step path: C = N/R must be >= 128 so
+# per-limb DMA slices are lane-aligned (Mosaic tiling (., 128)); smaller
+# rings fit one XLA fusion anyway. Override with ACE_TPU_NTT4=off|on.
+NTT4_MIN_DEGREE = 16384
+
+
+def _ntt4_mode() -> str:
+    import os
+    return os.environ.get("ACE_TPU_NTT4", "auto")
+
+
+def _use_ntt4(t: "NttTables") -> bool:
+    if t.four_step is None:
+        return False
+    mode = _ntt4_mode()
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    import jax
+    return jax.default_backend() != "cpu"
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -56,8 +81,12 @@ def _bit_reverse_indices(n: int) -> np.ndarray:
     return rev
 
 
-def make_ntt_tables(primes: list[int], degree: int) -> NttTables:
-    """Host precompute of all twiddle tables for the given prime chain."""
+def make_ntt_tables(primes: list[int], degree: int,
+                    four_step: bool | None = None) -> NttTables:
+    """Host precompute of all twiddle tables for the given prime chain.
+
+    four_step: build the Pallas 4-step tables too (default: when the
+    ring is large enough and the mode isn't forced off)."""
     n = degree
     rev = _bit_reverse_indices(n)
     rou_all, rou_prec_all = [], []
@@ -87,6 +116,12 @@ def make_ntt_tables(primes: list[int], degree: int) -> NttTables:
         mu_hi_all.append([hi])
         mu_lo_all.append([lo])
     u64 = modops.np_u64
+    if four_step is None:
+        four_step = n >= NTT4_MIN_DEGREE and _ntt4_mode() != "off"
+    ntt4_tables = None
+    if four_step:
+        from ace_tpu.ops import ntt4
+        ntt4_tables = ntt4.make_ntt4_tables(primes, n)
     return NttTables(
         q=jnp.asarray(u64([[q] for q in primes])),
         rou=jnp.asarray(u64(rou_all)),
@@ -97,22 +132,30 @@ def make_ntt_tables(primes: list[int], degree: int) -> NttTables:
         n_inv_prec=jnp.asarray(u64(n_inv_prec_all)),
         mu_hi=jnp.asarray(u64(mu_hi_all)),
         mu_lo=jnp.asarray(u64(mu_lo_all)),
+        four_step=ntt4_tables,
     )
 
 
 def slice_tables(tables: NttTables, start: int, count: int) -> NttTables:
     """Tables for limbs [start, start+count) of the full chain."""
-    return NttTables(*(t[start:start + count] for t in tables))
+    return gather_tables(tables, range(start, start + count))
 
 
 def gather_tables(tables: NttTables, idx) -> NttTables:
     """Tables for an arbitrary static list of limb indices."""
     idx = np.asarray(idx)
-    return NttTables(*(t[idx] for t in tables))
+    fs = tables.four_step
+    if fs is not None:
+        from ace_tpu.ops import ntt4
+        fs = ntt4.index_tables(fs, idx)
+    return NttTables(*(t[idx] for t in tables[:-1]), four_step=fs)
 
 
 def ntt_fwd(coeffs: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     """Forward negacyclic NTT. coeffs [L, N] natural order -> NTT form."""
+    if _use_ntt4(t):
+        from ace_tpu.ops import ntt4
+        return ntt4.ntt4_fwd(coeffs, t.four_step)
     L, n = coeffs.shape
     q = t.q[:, :, None]  # [L,1,1] for [L,m,t] stage views
     d = coeffs
@@ -132,6 +175,9 @@ def ntt_fwd(coeffs: jnp.ndarray, t: NttTables) -> jnp.ndarray:
 
 def ntt_inv(values: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     """Inverse negacyclic NTT. values [L, N] NTT form -> natural order."""
+    if _use_ntt4(t):
+        from ace_tpu.ops import ntt4
+        return ntt4.ntt4_inv(values, t.four_step)
     L, n = values.shape
     q = t.q[:, :, None]
     d = values

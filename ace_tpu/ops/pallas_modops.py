@@ -174,26 +174,19 @@ def _block_cols(L: int, N: int, n_arrays: int,
 
 
 def _elementwise_call(kernel, n_in: int, arrays):
+    # GRIDLESS whole-array kernel: the axon remote-compile path cannot
+    # legalize Pallas grid index maps, and elementwise kernels don't
+    # need a grid — XLA/Mosaic pipelines whole VMEM arrays fine at the
+    # sizes the CKKS op stream uses ([limbs, N] u32 planes).
     L, N = arrays[0].shape
-    blk = _block_cols(L, N, n_in + 2)
-    grid = (N // blk,) if N % blk == 0 else None
-    if grid is None:
-        spec_in = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
-        spec_out = (pl.BlockSpec(memory_space=pltpu.ANY),) * 2
-        grid = ()
-    else:
-        bs = pl.BlockSpec((L, blk), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)
-        spec_in = [bs] * n_in
-        spec_out = (bs, bs)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (jax.ShapeDtypeStruct((L, N), jnp.uint32),
                  jax.ShapeDtypeStruct((L, N), jnp.uint32))
     return pl.pallas_call(
         kernel,
-        grid=grid,
         out_shape=out_shape,
-        in_specs=spec_in,
-        out_specs=spec_out,
+        in_specs=[spec] * n_in,
+        out_specs=(spec, spec),
         interpret=jax.default_backend() == "cpu",
     )(*arrays)
 
