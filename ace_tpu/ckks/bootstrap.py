@@ -340,22 +340,32 @@ class BootstrapContext:
                 s == (start if encoding else end - 1))
             scale = (self.scale_enc if encoding else self.scale_dec) \
                 if apply_scale else 1.0
-            rotated = ev.rotations_hoisted(ct, offs)
+            # hoisted extended-basis BSGS accumulation: one digit
+            # decompose for all rotations of this level, one mod-down
+            # at the end (Rotate_iteration's hoisting, :1284-1365)
+            digits = None
             acc = None
-            for u, r in enumerate(rotated):
+            for u, off in enumerate(offs):
                 diag = coeff[s][u] * scale
                 if not np.any(diag):
                     continue
-                pl = self._encode_diag(r, diag)
-                term = ev.mul_plain(r, pl)
+                if off == 0:
+                    ext = ev.to_ext(ct)
+                else:
+                    if digits is None:
+                        digits = ev.switch_key_precompute(ct.c1)
+                    ext = ev.rotate_ext(ct, off, digits)
+                pl = self._encode_diag(ext, diag)
+                term = ev.mul_plain(ext, pl)
                 acc = term if acc is None else ev.add(acc, term)
-            ct = acc
+            ct = ev.mod_down_ciph(acc)
         return ct
 
     def _encode_diag(self, ct: Ciphertext, diag: np.ndarray):
         # sparse diagonals use the encoder's gap interleave directly
         return self.ev.encoder.encode(diag, level=ct.level,
-                                      slots=len(diag))
+                                      slots=len(diag),
+                                      extended=ct.c0.num_p > 0)
 
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         return self._transform(ct, True)

@@ -24,6 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ace_tpu.ckks.cipher import Ciphertext, Ciphertext3
+from ace_tpu.ops import modops
 from ace_tpu.ckks.encoder import Encoder, Plaintext
 from ace_tpu.ckks.keygen import KeyGenerator, SwitchKey
 from ace_tpu.ckks.params import CkksParams

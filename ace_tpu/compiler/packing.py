@@ -135,6 +135,100 @@ class FheBackend:
             ct = self.bootstrap_fn(ct)
         return relu_mod.relu(self.ev, ct, value_range, mul_depth)
 
+    # -- hoisted extended-basis accumulation ------------------------------
+    # mod-up hoisting (shared digit decompose) + mod-down hoisting
+    # (accumulate in the QP basis, one Reduce_rns_base at the end) —
+    # the reference's ut_ksw_opt.cxx:349-375 patterns.
+
+    def rot_mac(self, ct, pairs):
+        """sum_r rot(ct, r) * w_r with one mod-up and one mod-down."""
+        return self.rot_ext_mac_groups(
+            ct, [r for r, _ in pairs], [[w for _, w in pairs]])[0]
+
+    def rot_ext_mac_groups(self, ct, rots, weight_groups):
+        """Shared hoisted rotations feeding several weighted MACs:
+        returns [sum_k rot(ct, rots[k]) * W[g][k] for each group g],
+        with ONE digit decompose/mod-up for all rotations and one
+        mod-down per group (the reference's combined mod-up + mod-down
+        hoisting, ut_ksw_opt.cxx:349-375)."""
+        ev = self.ev
+        ct = self._norm(ct)
+        digits = None
+        exts = []
+        for r in rots:
+            if r == 0:
+                exts.append(ev.to_ext(ct))
+            else:
+                if digits is None:
+                    digits = ev.switch_key_precompute(ct.c1)
+                exts.append(ev.rotate_ext(ct, r, digits))
+        outs = []
+        for W in weight_groups:
+            acc = None
+            for ext, w in zip(exts, W):
+                if w is None or not np.any(w):
+                    continue
+                pl = self.enc.encode(self._pad(w), level=ct.level,
+                                     slots=self.n_slots, extended=True)
+                term = ev.mul_plain(ext, pl)
+                acc = term if acc is None else ev.add(acc, term)
+            if acc is None:  # all-zero group
+                outs.append(self.mul_plain(ct, np.zeros(self.n_slots)))
+            else:
+                outs.append(ev.mod_down_ciph(acc))
+        return outs
+
+    def rot_sum(self, items):
+        """sum_i rot(ct_i, r_i) with a single trailing mod-down."""
+        ev = self.ev
+        acc = None
+        for ct, r in items:
+            ct = self._norm(ct)
+            ext = ev.to_ext(ct) if r == 0 else ev.rotate_ext(ct, r)
+            acc = ext if acc is None else ev.add(acc, ext)
+        return ev.mod_down_ciph(acc)
+
+    def _pad(self, w):
+        vec = np.zeros(self.n_slots, dtype=np.complex128)
+        vec[:len(w)] = w
+        return vec
+
+
+# ---------------------------------------------------------------------------
+# Hoisted-accumulation dispatch: FHE backends fold rotation groups into
+# extended-basis MACs (one mod-up, one mod-down per group); plain/sim
+# backends fall back to per-rotation evaluation.
+# ---------------------------------------------------------------------------
+
+def hoisted_mac_groups(be, x, rots, weight_groups):
+    """[sum_k rot(x, rots[k]) * W[g][k] for each weight group g]."""
+    if hasattr(be, "rot_ext_mac_groups"):
+        return be.rot_ext_mac_groups(x, rots, weight_groups)
+    rolls = be.rotations_hoisted(x, rots)
+    outs = []
+    for W in weight_groups:
+        acc = None
+        for rv, w in zip(rolls, W):
+            if w is None or not np.any(w):
+                continue
+            term = be.mul_plain(rv, w)
+            acc = term if acc is None else be.add(acc, term)
+        if acc is None:  # all-zero group (e.g. zero conv weights)
+            acc = be.mul_plain(x, np.zeros(be.n_slots))
+        outs.append(acc)
+    return outs
+
+
+def rot_sum(be, items):
+    """sum_i rot(x_i, r_i) (mod-down hoisted on FHE backends)."""
+    if hasattr(be, "rot_sum"):
+        return be.rot_sum(items)
+    acc = None
+    for x, r in items:
+        v = x if r == 0 else be.rotate(x, r)
+        acc = v if acc is None else be.add(acc, v)
+    return acc
+
 
 # ---------------------------------------------------------------------------
 # Conv2d lowering
@@ -235,12 +329,7 @@ def _conv2d_taps(be, x, weight: np.ndarray, h: int, w: int):
     assert c_in * hw * max(copies, 2) <= be.n_slots, "slot overflow"
     xd = dup_input(be, x, c_in * hw, max(copies, 2))
     rots, W = conv_tap_weights(weight, h, w)
-    rotated = be.rotations_hoisted(xd, rots)
-    acc = None
-    for r, row in zip(rotated, W):
-        term = be.mul_plain(r, row)
-        acc = term if acc is None else be.add(acc, term)
-    return acc
+    return hoisted_mac_groups(be, xd, rots, [list(W)])[0]
 
 
 def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
@@ -274,12 +363,12 @@ def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
     ra = conv_ra_offsets(kh, kw, w)
     p = (kh - 1) // 2
     pos_i, pos_j = np.divmod(np.arange(hw), w)
-    rolls = be.rotations_hoisted(xd, ra)
 
+    # per-ci weight rows over the SAME hoisted kernel-tap rotations
     m_idx = np.arange(c_out)
-    acc = None
+    groups = []
     for ci in range(c_in):
-        r_ci = None
+        rows = []
         for k, off in enumerate(ra):
             di, dj = divmod(k, kw)
             src_i = pos_i + (di - p)
@@ -287,18 +376,20 @@ def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
             valid = ((src_i >= 0) & (src_i < h) &
                      (src_j >= 0) & (src_j < w)).astype(np.float64)
             wvals = weight[(m_idx - ci) % c_out, m_idx % c_in, di, dj]
-            row = (wvals[:, None] * valid[None, :]).reshape(-1)
-            term = be.mul_plain(rolls[k], row)
-            r_ci = term if r_ci is None else be.add(r_ci, term)
-        if ci == 0:
-            acc = r_ci if acc is None else be.add(acc, r_ci)
-            continue
+            rows.append((wvals[:, None] * valid[None, :]).reshape(-1))
+        groups.append(rows)
+    r_cis = hoisted_mac_groups(be, xd, ra, groups)
+
+    items = [(r_cis[0], 0)]
+    for ci in range(1, c_in):
+        r_ci = r_cis[ci]
         if 2 * L <= be.n_slots:
             r_dup = be.add(r_ci, be.rotate(r_ci, -L))
         else:
             assert L == be.n_slots, "slot overflow in conv_fast dup"
             r_dup = r_ci  # full ring: rotation wraps naturally
-        acc = be.add(acc, be.rotate(r_dup, ci * hw))
+        items.append((r_dup, ci * hw))
+    acc = rot_sum(be, items)
     # clear junk beyond the c_out*hw valid region left by the dup2 copies
     if c_in > 1 and 2 * L <= be.n_slots and L < be.n_slots:
         mask = np.ones(L)
@@ -329,14 +420,12 @@ def gather_by_delta(be, x, pairs):
         mask = np.zeros(n)
         mask[groups[0]] = 1.0
         return be.mul_plain(x, mask)
-    rotated = be.rotations_hoisted(x, deltas)
-    acc = None
-    for r, d in zip(rotated, deltas):
+    masks = []
+    for d in deltas:
         mask = np.zeros(n)
         mask[groups[d]] = 1.0
-        term = be.mul_plain(r, mask)
-        acc = term if acc is None else be.add(acc, term)
-    return acc
+        masks.append(mask)
+    return hoisted_mac_groups(be, x, deltas, [masks])[0]
 
 
 def compact_strided(be, x, c: int, h: int, w: int, stride: int):
@@ -402,24 +491,22 @@ def gemm(be, x, weight: np.ndarray, bias: np.ndarray):
     diags = gemm_diagonals(weight)
     h1 = 2 ** int(math.ceil(math.log2(max(rows, 1)) / 2))
     h2 = math.ceil(rows / h1)
-    baby = be.rotations_hoisted(xd, list(range(h1)))
-    acc = None
+    # per-giant-step diagonal rows over the shared baby rotations;
+    # diag d is shifted right by b2*h1 in full slot space so the giant
+    # rotation of the inner sum aligns every term at once
+    groups = []
     for b2 in range(h2):
-        inner = None
+        rows_b2 = []
         for b1 in range(h1):
             d = b2 * h1 + b1
-            if d >= rows:
-                break
-            # shift diag right by b2*h1 in full slot space (not a roll
-            # within its own length); the giant rotation of the inner
-            # sum then aligns every term at once
-            row = np.concatenate([np.zeros(b2 * h1), diags[d]])
-            term = be.mul_plain(baby[b1], row)
-            inner = term if inner is None else be.add(inner, term)
-        if inner is None:
-            continue
-        inner = be.rotate(inner, b2 * h1)
-        acc = inner if acc is None else be.add(acc, inner)
+            rows_b2.append(
+                np.concatenate([np.zeros(b2 * h1), diags[d]])
+                if d < rows else None)
+        groups.append(rows_b2)
+    inners = hoisted_mac_groups(be, xd, list(range(h1)), groups)
+    acc = rot_sum(be, [(inner, b2 * h1)
+                       for b2, inner in enumerate(inners)
+                       if inner is not None])
     # fold the cols/rows windows down onto slots [0, rows)
     span = in_dim
     while span > rows:
@@ -435,12 +522,8 @@ def average_pool(be, x, c: int, h: int, w: int, k: int):
     m2 = np.zeros((h, w))
     m2[::k, ::k] = 1.0 / (k * k)
     mask = np.tile(m2.reshape(-1), c)
-    acc = None
-    rotated = be.rotations_hoisted(x, [di * w + dj
-                                       for di in range(k) for dj in range(k)])
-    for r in rotated:
-        term = be.mul_plain(r, mask)
-        acc = term if acc is None else be.add(acc, term)
+    taps = [di * w + dj for di in range(k) for dj in range(k)]
+    acc = hoisted_mac_groups(be, x, taps, [[mask] * len(taps)])[0]
     return compact_strided(be, acc, c, h, w, k)
 
 

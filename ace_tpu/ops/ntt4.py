@@ -60,10 +60,10 @@ class Ntt4Tables(NamedTuple):
     t2: tuple          # 4 x [L, R, C]
     d2i: tuple         # 4 x [L, R, C]
     d1i: tuple         # 4 x [L, 1, C]
-    rr: tuple          # 4 x [L, R/2, 128]  fwd ladder planes (lane=stage)
-    rri: tuple         # 4 x [L, R/2, 128]  inverse ladder
-    rc: tuple          # 4 x [L, C/2, 128]
-    rci: tuple         # 4 x [L, C/2, 128]
+    rr: tuple          # 4 x [L, R, 128]  fwd ladder planes (lane=stage)
+    rri: tuple         # 4 x [L, R, 128]  inverse ladder
+    rc: tuple          # 4 x [L, C, 128]
+    rci: tuple         # 4 x [L, C, 128]
     scal: jnp.ndarray  # [L, 12] uint32
 
     @property
@@ -119,13 +119,16 @@ def _ladder_tables(psi_r: int, q: int, r: int):
     rou[rev] = pw
     roui[rev] = pwi
     logr = r.bit_length() - 1
-    fwd = np.empty((logr, r // 2), dtype=np.uint64)
-    inv = np.empty((logr, r // 2), dtype=np.uint64)
+    # full-height expansion: v_s[row] = rou[m + block(row)] for ALL rows
+    # (the roll/select butterfly multiplies every row by its block's
+    # twiddle and masks afterwards)
+    fwd = np.empty((logr, r), dtype=np.uint64)
+    inv = np.empty((logr, r), dtype=np.uint64)
     for s in range(logr):
         m = 1 << s
-        half = r // (2 * m)
-        fwd[s] = np.repeat(rou[m:2 * m], half)
-        inv[s] = np.repeat(roui[m:2 * m], half)
+        span = r // m
+        fwd[s] = np.repeat(rou[m:2 * m], span)
+        inv[s] = np.repeat(roui[m:2 * m], span)
     return fwd, _prec_table(fwd, q), inv, _prec_table(inv, q)
 
 
@@ -183,13 +186,13 @@ def make_ntt4_tables(primes: list[int], degree: int) -> Ntt4Tables:
         d2i_v.append((d2i_lo, d2i_hi, d2i_plo, d2i_phi))
 
         def ladder_planes(tabs):
-            # stored [X/2, 128]: sublane i = y-position, lane s = stage
-            # (lane dim padded to 128 so per-limb DMA slices are
-            # lane-aligned; stage index is a static lane slice)
+            # stored [X, 128]: sublane = row, lane s = stage (lane dim
+            # padded to 128 so per-limb DMA slices are lane-aligned;
+            # stage index is a static lane slice)
             out = []
             for t in tabs:
-                logx, half_x = t.shape
-                padded = np.zeros((half_x, 128), dtype=np.uint64)
+                logx, x_rows = t.shape
+                padded = np.zeros((x_rows, 128), dtype=np.uint64)
                 padded[:, :logx] = t.T
                 lo, hi = _split_np(padded)
                 out.extend([lo, hi])
@@ -269,38 +272,67 @@ def _subm(a_hi, a_lo, b_hi, b_lo, q_hi, q_lo):
     return jnp.where(ge, d_hi, d2_hi), jnp.where(ge, d_lo, d2_lo)
 
 
+def _is_y_mask(R: int, half: int):
+    """[R, 1] bool: rows whose butterfly role is y (bit `half` set)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    return (rows & half) != 0
+
+
+def _roll_pair(d_hi, d_lo, half: int, is_y):
+    """Partner values: x-rows read +half, y-rows read -half (the
+    butterfly exchange r <-> r^half via two sublane rolls + select)."""
+    R = d_hi.shape[0]
+    up = np.int32(R - half)  # i32: tpu.dynamic_rotate rejects i64 shifts
+    dn = np.int32(half)
+    up_hi = pltpu.roll(d_hi, up, 0)  # [r] <- d[r+half]
+    up_lo = pltpu.roll(d_lo, up, 0)
+    dn_hi = pltpu.roll(d_hi, dn, 0)  # [r] <- d[r-half]
+    dn_lo = pltpu.roll(d_lo, dn, 0)
+    return (jnp.where(is_y, dn_hi, up_hi), jnp.where(is_y, dn_lo, up_lo))
+
+
 def _negact_cols(x_hi, x_lo, w_hi, w_lo, wp_hi, wp_lo, q_hi, q_lo):
     """Negacyclic CT ladder down the sublane axis of [R, C] planes.
-    w tables are TRANSPOSED per-stage twiddles [W>=R/2, log2(R)]
-    (column s = stage s, same butterflies as ntt.c:190-264)."""
+
+    Uniform-shape formulation: every stage works on the full [R, C]
+    view with roll/select butterflies (no reshapes — keeps the Mosaic
+    program small and vector ops full-width). Same math as the
+    reference's Harvey butterflies (ntt.c:190-264): for block twiddle w,
+    out_x = x + w*y, out_y = x - w*y. Ladder tables hold the block
+    twiddle per ROW at lane s = stage."""
     R, C = x_lo.shape
     m = 1
     s = 0
     d_hi, d_lo = x_hi, x_lo
     while m < R:
         half = R // (2 * m)
-        d_hi = d_hi.reshape(m, 2, half, C)
-        d_lo = d_lo.reshape(m, 2, half, C)
-        om_hi = w_hi[:R // 2, s:s + 1].reshape(m, half, 1)
-        om_lo = w_lo[:R // 2, s:s + 1].reshape(m, half, 1)
-        omp_hi = wp_hi[:R // 2, s:s + 1].reshape(m, half, 1)
-        omp_lo = wp_lo[:R // 2, s:s + 1].reshape(m, half, 1)
-        xh, xl = d_hi[:, 0], d_lo[:, 0]
-        yh, yl = _shoup(d_hi[:, 1], d_lo[:, 1], om_hi, om_lo,
-                        omp_hi, omp_lo, q_hi, q_lo)
-        s_hi, s_lo = _addm(xh, xl, yh, yl, q_hi, q_lo)
-        t_hi, t_lo = _subm(xh, xl, yh, yl, q_hi, q_lo)
-        d_hi = jnp.stack([s_hi, t_hi], axis=1)
-        d_lo = jnp.stack([s_lo, t_lo], axis=1)
+        is_y = _is_y_mask(R, half)
+        om_hi = w_hi[:, s:s + 1]
+        om_lo = w_lo[:, s:s + 1]
+        omp_hi = wp_hi[:, s:s + 1]
+        omp_lo = wp_lo[:, s:s + 1]
+        p_hi, p_lo = _roll_pair(d_hi, d_lo, half, is_y)
+        # y-value at every row: own value on y rows, partner on x rows
+        yv_hi = jnp.where(is_y, d_hi, p_hi)
+        yv_lo = jnp.where(is_y, d_lo, p_lo)
+        xv_hi = jnp.where(is_y, p_hi, d_hi)
+        xv_lo = jnp.where(is_y, p_lo, d_lo)
+        wy_hi, wy_lo = _shoup(yv_hi, yv_lo, om_hi, om_lo, omp_hi, omp_lo,
+                              q_hi, q_lo)
+        a_hi, a_lo = _addm(xv_hi, xv_lo, wy_hi, wy_lo, q_hi, q_lo)
+        b_hi, b_lo = _subm(xv_hi, xv_lo, wy_hi, wy_lo, q_hi, q_lo)
+        d_hi = jnp.where(is_y, b_hi, a_hi)
+        d_lo = jnp.where(is_y, b_lo, a_lo)
         m *= 2
         s += 1
-    return d_hi.reshape(R, C), d_lo.reshape(R, C)
+    return d_hi, d_lo
 
 
 def _negags_cols(x_hi, x_lo, w_hi, w_lo, wp_hi, wp_lo, q_hi, q_lo,
                  ninv_hi, ninv_lo, ninvp_hi, ninvp_lo):
-    """Inverse (Gentleman-Sande) ladder; R^-1 folded into the first
-    (pairwise) stage (ntt.c:281-317)."""
+    """Inverse (Gentleman-Sande) ladder, roll/select form; R^-1 folded
+    into the first (pairwise) stage (ntt.c:281-317):
+    out_x = x + y, out_y = (x - y) * w."""
     R, C = x_lo.shape
     m = R // 2
     d_hi, d_lo = x_hi, x_lo
@@ -308,28 +340,30 @@ def _negags_cols(x_hi, x_lo, w_hi, w_lo, wp_hi, wp_lo, q_hi, q_lo,
     while m >= 1:
         s = m.bit_length() - 1
         half = R // (2 * m)
-        d_hi = d_hi.reshape(m, 2, half, C)
-        d_lo = d_lo.reshape(m, 2, half, C)
-        om_hi = w_hi[:R // 2, s:s + 1].reshape(m, half, 1)
-        om_lo = w_lo[:R // 2, s:s + 1].reshape(m, half, 1)
-        omp_hi = wp_hi[:R // 2, s:s + 1].reshape(m, half, 1)
-        omp_lo = wp_lo[:R // 2, s:s + 1].reshape(m, half, 1)
-        lh, ll = d_hi[:, 0], d_lo[:, 0]
-        hh, hl = d_hi[:, 1], d_lo[:, 1]
-        s_hi, s_lo = _addm(lh, ll, hh, hl, q_hi, q_lo)
-        df_hi, df_lo = _subm(lh, ll, hh, hl, q_hi, q_lo)
-        df_hi, df_lo = _shoup(df_hi, df_lo, om_hi, om_lo, omp_hi, omp_lo,
-                              q_hi, q_lo)
+        is_y = _is_y_mask(R, half)
+        om_hi = w_hi[:, s:s + 1]
+        om_lo = w_lo[:, s:s + 1]
+        omp_hi = wp_hi[:, s:s + 1]
+        omp_lo = wp_lo[:, s:s + 1]
+        p_hi, p_lo = _roll_pair(d_hi, d_lo, half, is_y)
+        xv_hi = jnp.where(is_y, p_hi, d_hi)
+        xv_lo = jnp.where(is_y, p_lo, d_lo)
+        yv_hi = jnp.where(is_y, d_hi, p_hi)
+        yv_lo = jnp.where(is_y, d_lo, p_lo)
+        a_hi, a_lo = _addm(xv_hi, xv_lo, yv_hi, yv_lo, q_hi, q_lo)
+        b_hi, b_lo = _subm(xv_hi, xv_lo, yv_hi, yv_lo, q_hi, q_lo)
+        b_hi, b_lo = _shoup(b_hi, b_lo, om_hi, om_lo, omp_hi, omp_lo,
+                            q_hi, q_lo)
         if first:
-            s_hi, s_lo = _shoup(s_hi, s_lo, ninv_hi, ninv_lo,
+            a_hi, a_lo = _shoup(a_hi, a_lo, ninv_hi, ninv_lo,
                                 ninvp_hi, ninvp_lo, q_hi, q_lo)
-            df_hi, df_lo = _shoup(df_hi, df_lo, ninv_hi, ninv_lo,
-                                  ninvp_hi, ninvp_lo, q_hi, q_lo)
+            b_hi, b_lo = _shoup(b_hi, b_lo, ninv_hi, ninv_lo,
+                                ninvp_hi, ninvp_lo, q_hi, q_lo)
             first = False
-        d_hi = jnp.stack([s_hi, df_hi], axis=1)
-        d_lo = jnp.stack([s_lo, df_lo], axis=1)
+        d_hi = jnp.where(is_y, b_hi, a_hi)
+        d_lo = jnp.where(is_y, b_lo, a_lo)
         m //= 2
-    return d_hi.reshape(R, C), d_lo.reshape(R, C)
+    return d_hi, d_lo
 
 
 # ---------------------------------------------------------------------------

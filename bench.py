@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N = 1 << 16
 LIMBS = 8          # batch of limbs per device call
-STEADY_ITERS = 5
+STEADY_ITERS = 30
 
 
 def bench_device():
@@ -38,9 +38,12 @@ def bench_device():
     fwd = jax.jit(ntt.ntt_fwd)
     x = jnp.asarray(data)
     fwd(x, tables).block_until_ready()  # compile
+    # chain calls (output feeds input) so iterations can't be
+    # deduplicated/cached anywhere in the execution path
+    r = x
     t0 = time.perf_counter()
     for _ in range(STEADY_ITERS):
-        r = fwd(x, tables)
+        r = fwd(r, tables)
     r.block_until_ready()
     dt = (time.perf_counter() - t0) / STEADY_ITERS
     ntt_per_s = LIMBS / dt

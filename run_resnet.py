@@ -1,0 +1,102 @@
+"""Encrypted ResNet inference driver — the dataset-main analog.
+
+Mirrors the reference's generated per-model binaries + harness
+(rtlib/ant/dataset/resnet_cifar.main.inc:35-119, scripts/perf.py):
+load model -> select CKKS params -> keygen -> encode+encrypt image ->
+run the encrypted graph -> decrypt -> compare against plain inference,
+with RTM timing buckets reported at the end.
+
+CIFAR batches aren't shipped in this environment (zero egress), so by
+default the image is synthetic; pass --cifar <batch.bin> to use real
+data (nn-addon cifar_reader format). Encrypted-vs-plain agreement is
+the correctness check either way (the reference's rt_validate).
+
+Usage:
+  python run_resnet.py --model resnet20_cifar10 [--layers K]
+      [--degree-override 8192] [--images 1] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet20_cifar10")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="truncate graph to first K ops (0 = full)")
+    ap.add_argument("--images", type=int, default=1)
+    ap.add_argument("--cifar", default="", help="CIFAR batch .bin path")
+    ap.add_argument("--hamming-weight", type=int, default=192)
+    ap.add_argument("--relu-depth", type=int, default=13)
+    ap.add_argument("--relu-range", type=float, default=16.0)
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    os.environ.setdefault("RTLIB_TIMING_OUTPUT", "1")
+    import jax
+    import ace_tpu  # noqa: F401
+    from ace_tpu.models import resnet as M
+    from ace_tpu.compiler.scheme_info import SchemeConfig
+    from ace_tpu.runtime.timing import TIMING
+
+    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+    g = M.load_model(args.model)
+    if args.layers:
+        g.ops = g.ops[:args.layers]
+        g.output_name = g.ops[-1].outputs[0]
+
+    cfg = SchemeConfig(security_level=0,
+                       hamming_weight=args.hamming_weight,
+                       first_mod_size=60, scaling_mod_size=56,
+                       relu_mul_depth=args.relu_depth,
+                       relu_value_range=args.relu_range,
+                       use_bootstrap=any(op.op_type == "Relu"
+                                         for op in g.ops))
+    t0 = time.time()
+    model = M.compile_model(g, cfg,
+                            num_classes=100 if "cifar100" in args.model
+                            else 10)
+    print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "
+          f"L={model.scheme.mul_level} "
+          f"(context {time.time() - t0:.1f}s)", file=sys.stderr)
+
+    if args.cifar:
+        classes = 100 if "cifar100" in args.model else 10
+        imgs, labels = M.read_cifar_batch(args.cifar, args.images, classes)
+    else:
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
+        labels = None
+
+    results = []
+    for i in range(args.images):
+        plain = M.infer_plain(g, imgs[i])
+        t0 = time.time()
+        logits = M.infer_encrypted(model, imgs[i])
+        dt = time.time() - t0
+        k = min(len(logits), len(plain))
+        err = float(np.max(np.abs(logits[:k] - plain[:k])))
+        agree = bool(np.argmax(logits[:k]) == np.argmax(plain[:k]))
+        row = dict(image=i, seconds=dt, max_err=err, argmax_agree=agree)
+        if labels is not None:
+            row["label_match"] = bool(np.argmax(logits[:k]) == labels[i])
+        results.append(row)
+        print(f"image {i}: {dt:.1f}s max_err={err:.3e} "
+              f"argmax_agree={agree}")
+
+    print(TIMING.report(), file=sys.stderr)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()
