@@ -93,22 +93,38 @@ def make_ntt_tables(primes: list[int], degree: int,
     roui_all, roui_prec_all = [], []
     n_inv_all, n_inv_prec_all = [], []
     mu_hi_all, mu_lo_all = [], []
+    try:
+        from ace_tpu import native as _native
+    except Exception:
+        _native = None
     for q in primes:
         psi = nt.root_of_unity(2 * n, q)
         psi_inv = nt.mod_inv(psi, q)
         # powers psi^i stored at bit-reversed positions
-        pw, pwi = 1, 1
-        rou = [0] * n
-        roui = [0] * n
-        for i in range(n):
-            rou[rev[i]] = pw
-            roui[rev[i]] = pwi
-            pw = (pw * psi) % q
-            pwi = (pwi * psi_inv) % q
+        if _native is not None:
+            pw_tab = _native.pow_table(psi, q, n)
+            pwi_tab = _native.pow_table(psi_inv, q, n)
+            rou = np.empty(n, dtype=np.uint64)
+            roui = np.empty(n, dtype=np.uint64)
+            rou[rev] = pw_tab
+            roui[rev] = pwi_tab
+            rou_prec_all.append(_native.shoup_prec(rou, q))
+            roui_prec_all.append(_native.shoup_prec(roui, q))
+        else:
+            pw, pwi = 1, 1
+            rou = [0] * n
+            roui = [0] * n
+            for i in range(n):
+                rou[rev[i]] = pw
+                roui[rev[i]] = pwi
+                pw = (pw * psi) % q
+                pwi = (pwi * psi_inv) % q
+            rou_prec_all.append(
+                [modops.precompute_shoup(w, q) for w in rou])
+            roui_prec_all.append(
+                [modops.precompute_shoup(w, q) for w in roui])
         rou_all.append(rou)
         roui_all.append(roui)
-        rou_prec_all.append([modops.precompute_shoup(w, q) for w in rou])
-        roui_prec_all.append([modops.precompute_shoup(w, q) for w in roui])
         ninv = nt.mod_inv(n, q)
         n_inv_all.append([ninv])
         n_inv_prec_all.append([modops.precompute_shoup(ninv, q)])
@@ -122,12 +138,16 @@ def make_ntt_tables(primes: list[int], degree: int,
     if four_step:
         from ace_tpu.ops import ntt4
         ntt4_tables = ntt4.make_ntt4_tables(primes, n)
+    def rows(vals):
+        return jnp.asarray(np.stack([
+            v if isinstance(v, np.ndarray) else u64(v) for v in vals]))
+
     return NttTables(
         q=jnp.asarray(u64([[q] for q in primes])),
-        rou=jnp.asarray(u64(rou_all)),
-        rou_prec=jnp.asarray(u64(rou_prec_all)),
-        rou_inv=jnp.asarray(u64(roui_all)),
-        rou_inv_prec=jnp.asarray(u64(roui_prec_all)),
+        rou=rows(rou_all),
+        rou_prec=rows(rou_prec_all),
+        rou_inv=rows(roui_all),
+        rou_inv_prec=rows(roui_prec_all),
         n_inv=jnp.asarray(u64(n_inv_all)),
         n_inv_prec=jnp.asarray(u64(n_inv_prec_all)),
         mu_hi=jnp.asarray(u64(mu_hi_all)),
