@@ -40,6 +40,11 @@ class Evaluator:
         self.crt = params.crt
         self.keygen = keygen
         self.encoder = encoder
+        # jitted op bundles, keyed by static structure (op, level,
+        # rotation indices, ...). Bundling a whole key-switch into one
+        # XLA program removes both per-sub-op dispatch latency and
+        # dozens of tiny executables per op class.
+        self._jit_cache: dict = {}
 
     # -- encrypt / decrypt ----------------------------------------------
 
@@ -196,7 +201,15 @@ class Evaluator:
                           c3.scaling_factor, c3.sf_degree, c3.slots)
 
     def mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        return self.relinearize(self.mul3(a, b))
+        a, b = self._adjust(a, b)
+        level = a.level
+        fn = self._get_jit(("mulrl", level), self._mk_mul_relin, level)
+        kb, ka = self._key_raw(self.keygen.relin_key, level)
+        d0, d1 = fn(a.c0.data, a.c1.data, b.c0.data, b.c1.data, kb, ka)
+        return Ciphertext(RnsPoly(d0, level, 0, True),
+                          RnsPoly(d1, level, 0, True),
+                          a.scaling_factor * b.scaling_factor,
+                          a.sf_degree + b.sf_degree, a.slots)
 
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.mul(a, a)
@@ -206,8 +219,10 @@ class Evaluator:
     def rescale(self, a: Ciphertext) -> Ciphertext:
         assert a.level > 1
         new_factor = a.scaling_factor / self.params.scaling_factor
-        return Ciphertext(P.rescale(a.c0, self.crt),
-                          P.rescale(a.c1, self.crt),
+        fn = self._get_jit(("rs", a.level), self._mk_rescale, a.level)
+        d0, d1 = fn(a.c0.data, a.c1.data)
+        return Ciphertext(RnsPoly(d0, a.level - 1, 0, True),
+                          RnsPoly(d1, a.level - 1, 0, True),
                           new_factor, a.sf_degree - 1, a.slots)
 
     def upscale(self, a: Ciphertext, mod_size: int) -> Ciphertext:
@@ -238,15 +253,18 @@ class Evaluator:
 
     def rotate(self, a: Ciphertext, rotation: int) -> Ciphertext:
         """Slot rotation: keyswitch c1, add c0, then automorphism
-        (Fast_rotate, ckks_evaluator.c:507-545)."""
+        (Fast_rotate, ckks_evaluator.c:507-545). One jitted program
+        per (automorphism index, level)."""
         if rotation == 0:
             return a
         auto_idx, key = self.keygen.rot_key(rotation)
-        crt = self.crt
-        s0, s1 = self._switch_key(key, a.c1)
-        t0 = P.add(s0, a.c0, crt)
-        return Ciphertext(P.automorphism(t0, auto_idx, crt),
-                          P.automorphism(s1, auto_idx, crt),
+        level = a.level
+        fn = self._get_jit(("rot", auto_idx, level), self._mk_rotate,
+                           auto_idx, level)
+        kb, ka = self._key_raw(key, level)
+        d0, d1 = fn(a.c0.data, a.c1.data, kb, ka)
+        return Ciphertext(RnsPoly(d0, level, 0, True),
+                          RnsPoly(d1, level, 0, True),
                           a.scaling_factor, a.sf_degree, a.slots)
 
     def rotations_hoisted(self, a: Ciphertext,
@@ -328,6 +346,168 @@ class Evaluator:
     def switch_key_precompute(self, poly: RnsPoly) -> list:
         """Shared digit decompose + mod-up (Switch_key_precompute)."""
         return self._switch_key_digits(poly)
+
+    # -- jitted op bundles -------------------------------------------------
+
+    def _get_jit(self, key, builder, *args):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = builder(*args)
+        return self._jit_cache[key]
+
+    def _mk_rotate(self, auto_idx: int, level: int):
+        crt = self.crt
+        num_p = crt.num_p
+
+        def impl(c0, c1, kb, ka):
+            a0 = RnsPoly(c0, level, 0, True)
+            a1 = RnsPoly(c1, level, 0, True)
+            key = SwitchKey(
+                [RnsPoly(d, crt.num_q, num_p, True) for d in kb],
+                [RnsPoly(d, crt.num_q, num_p, True) for d in ka])
+            digits = self._switch_key_digits(a1)
+            e0, e1 = self._switch_key_ext(key, digits, level)
+            s0 = P.mod_down(e0, crt)
+            s1 = P.mod_down(e1, crt)
+            t0 = P.add(s0, a0, crt)
+            return (P.automorphism(t0, auto_idx, crt).data,
+                    P.automorphism(s1, auto_idx, crt).data)
+
+        import jax
+        return jax.jit(impl)
+
+    def _mk_mul_relin(self, level: int):
+        crt = self.crt
+        num_p = crt.num_p
+
+        def impl(a0, a1, b0, b1, kb, ka):
+            pa0 = RnsPoly(a0, level, 0, True)
+            pa1 = RnsPoly(a1, level, 0, True)
+            pb0 = RnsPoly(b0, level, 0, True)
+            pb1 = RnsPoly(b1, level, 0, True)
+            c0 = P.mul(pa0, pb0, crt)
+            c1 = P.add(P.mul(pa0, pb1, crt), P.mul(pa1, pb0, crt), crt)
+            c2 = P.mul(pa1, pb1, crt)
+            key = SwitchKey(
+                [RnsPoly(d, crt.num_q, num_p, True) for d in kb],
+                [RnsPoly(d, crt.num_q, num_p, True) for d in ka])
+            digits = self._switch_key_digits(c2)
+            e0, e1 = self._switch_key_ext(key, digits, level)
+            s0 = P.mod_down(e0, crt)
+            s1 = P.mod_down(e1, crt)
+            return (P.add(s0, c0, crt).data, P.add(s1, c1, crt).data)
+
+        import jax
+        return jax.jit(impl)
+
+    def _mk_rescale(self, level: int):
+        crt = self.crt
+
+        def impl(c0, c1):
+            return (P.rescale(RnsPoly(c0, level, 0, True), crt).data,
+                    P.rescale(RnsPoly(c1, level, 0, True), crt).data)
+
+        import jax
+        return jax.jit(impl)
+
+    # -- jitted hoisted rotation-MAC bundles ------------------------------
+
+    def _key_raw(self, key: SwitchKey, level: int = 0):
+        """Full key digit planes as raw arrays (jit args; the traced
+        _switch_key_ext does the per-level slicing)."""
+        return ([kb.data for kb in key.b], [ka.data for ka in key.a])
+
+    def _mk_rot_mac_groups(self, auto_idxs: tuple, pattern: tuple,
+                           level: int):
+        """Build the traced impl for rot_ext_mac_groups_jit.
+
+        auto_idxs[i]: automorphism index per rotation (1 = identity /
+        no key switch). pattern[g][i]: whether group g uses rotation i.
+        """
+        crt = self.crt
+        num_p = crt.num_p
+
+        def impl(c0, c1, keys_b, keys_a, pls):
+            cin0 = RnsPoly(c0, level, 0, True)
+            cin1 = RnsPoly(c1, level, 0, True)
+            digits = None
+            exts = []
+            ki = 0
+            for ai in auto_idxs:
+                if ai == 1:
+                    exts.append((self._p_scale(cin0, True),
+                                 self._p_scale(cin1, True)))
+                    continue
+                if digits is None:
+                    digits = self._switch_key_digits(cin1)
+                key = SwitchKey(
+                    [RnsPoly(d, crt.num_q, num_p, True)
+                     for d in keys_b[ki]],
+                    [RnsPoly(d, crt.num_q, num_p, True)
+                     for d in keys_a[ki]])
+                ki += 1
+                e0, e1 = self._switch_key_ext(key, digits, level)
+                c0p = self._p_scale(cin0)
+                q, _, _ = crt.mod_arrays(range(level))
+                top = modops.add_mod(e0.data[:level], c0p.data, q)
+                e0 = RnsPoly(jnp.concatenate([top, e0.data[level:]], axis=0),
+                             level, num_p, True)
+                exts.append((P.automorphism(e0, ai, crt),
+                             P.automorphism(e1, ai, crt)))
+            outs = []
+            pi = 0
+            for g, uses in enumerate(pattern):
+                acc0 = acc1 = None
+                for i, used in enumerate(uses):
+                    if not used:
+                        continue
+                    pl = RnsPoly(pls[pi], level, num_p, True)
+                    pi += 1
+                    t0 = P.mul(exts[i][0], pl, crt)
+                    t1 = P.mul(exts[i][1], pl, crt)
+                    acc0 = t0 if acc0 is None else P.add(acc0, t0, crt)
+                    acc1 = t1 if acc1 is None else P.add(acc1, t1, crt)
+                outs.append((P.mod_down(acc0, crt).data,
+                             P.mod_down(acc1, crt).data))
+            return outs
+
+        import jax
+        return jax.jit(impl)
+
+    def rot_ext_mac_groups_jit(self, ct: Ciphertext, rots: list,
+                               plain_groups: list) -> list:
+        """[sum_i rot(ct, rots[i]) * plain_groups[g][i] for g] — one
+        jitted XLA program per (rotation set, usage pattern, level).
+        plain_groups entries are extended-basis Plaintexts or None."""
+        level = ct.level
+        auto_idxs = []
+        keys_b, keys_a = [], []
+        for r in rots:
+            if r == 0:
+                auto_idxs.append(1)
+                continue
+            ai, key = self.keygen.rot_key(r)
+            auto_idxs.append(ai)
+            kb, ka = self._key_raw(key, level)
+            keys_b.append(kb)
+            keys_a.append(ka)
+        pattern = tuple(tuple(p is not None for p in grp)
+                        for grp in plain_groups)
+        cache_key = ("rmg", tuple(auto_idxs), pattern, level)
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = self._mk_rot_mac_groups(
+                tuple(auto_idxs), pattern, level)
+        pls = [p.poly.data for grp in plain_groups for p in grp
+               if p is not None]
+        raw = self._jit_cache[cache_key](ct.c0.data, ct.c1.data,
+                                         keys_b, keys_a, pls)
+        outs = []
+        for g, (d0, d1) in enumerate(raw):
+            pl_scale = next((p.scaling_factor for p in plain_groups[g]
+                             if p is not None), self.params.scaling_factor)
+            outs.append(Ciphertext(
+                RnsPoly(d0, level, 0, True), RnsPoly(d1, level, 0, True),
+                ct.scaling_factor * pl_scale, ct.sf_degree + 1, ct.slots))
+        return outs
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         auto_idx, key = self.keygen.conj_key()

@@ -150,32 +150,33 @@ class FheBackend:
         returns [sum_k rot(ct, rots[k]) * W[g][k] for each group g],
         with ONE digit decompose/mod-up for all rotations and one
         mod-down per group (the reference's combined mod-up + mod-down
-        hoisting, ut_ksw_opt.cxx:349-375)."""
+        hoisting, ut_ksw_opt.cxx:349-375) — the whole bundle runs as a
+        single jitted XLA program per (rotations, pattern, level)."""
         ev = self.ev
         ct = self._norm(ct)
-        digits = None
-        exts = []
-        for r in rots:
-            if r == 0:
-                exts.append(ev.to_ext(ct))
-            else:
-                if digits is None:
-                    digits = ev.switch_key_precompute(ct.c1)
-                exts.append(ev.rotate_ext(ct, r, digits))
-        outs = []
+        plain_groups = []
+        nonzero_groups = []
         for W in weight_groups:
-            acc = None
-            for ext, w in zip(exts, W):
+            grp = []
+            for w in W:
                 if w is None or not np.any(w):
-                    continue
-                pl = self.enc.encode(self._pad(w), level=ct.level,
-                                     slots=self.n_slots, extended=True)
-                term = ev.mul_plain(ext, pl)
-                acc = term if acc is None else ev.add(acc, term)
-            if acc is None:  # all-zero group
+                    grp.append(None)
+                else:
+                    grp.append(self.enc.encode(
+                        self._pad(w), level=ct.level, slots=self.n_slots,
+                        extended=True))
+            plain_groups.append(grp)
+            nonzero_groups.append(any(p is not None for p in grp))
+        live = [g for g, nz in zip(plain_groups, nonzero_groups) if nz]
+        live_out = ev.rot_ext_mac_groups_jit(ct, list(rots), live) \
+            if live else []
+        outs = []
+        it = iter(live_out)
+        for nz in nonzero_groups:
+            if nz:
+                outs.append(next(it))
+            else:  # all-zero group
                 outs.append(self.mul_plain(ct, np.zeros(self.n_slots)))
-            else:
-                outs.append(ev.mod_down_ciph(acc))
         return outs
 
     def rot_sum(self, items):

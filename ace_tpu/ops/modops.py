@@ -117,6 +117,41 @@ def mod_u64(a, q, mu_hi, mu_lo):
 
 
 # ---------------------------------------------------------------------------
+# Dispatched fast paths: Pallas u32-plane kernels on TPU for big arrays,
+# the exact-u64 jnp path elsewhere. Bit-identical outputs either way.
+# ---------------------------------------------------------------------------
+
+_PALLAS_MIN_ELEMS = 1 << 17
+
+
+def _use_pallas(x) -> bool:
+    import os
+    mode = os.environ.get("ACE_TPU_PALLAS_EW", "auto")
+    if mode == "off":
+        return False
+    import jax
+    if jax.default_backend() == "cpu" and mode != "on":
+        return False
+    return x.ndim == 2 and x.size >= _PALLAS_MIN_ELEMS
+
+
+def barrett_mul_d(a, b, q, mu_hi, mu_lo):
+    """barrett_mul with Pallas dispatch for large device arrays."""
+    if _use_pallas(a):
+        from ace_tpu.ops import pallas_modops as pm
+        return pm.barrett_mul(a, b, q, mu_hi, mu_lo)
+    return barrett_mul(a, b, q, mu_hi, mu_lo)
+
+
+def shoup_mul_d(x, w, w_prec, q):
+    """shoup_mul with Pallas dispatch for large device arrays."""
+    if _use_pallas(x):
+        from ace_tpu.ops import pallas_modops as pm
+        return pm.shoup_mul(x, w, w_prec, q)
+    return shoup_mul(x, w, w_prec, q)
+
+
+# ---------------------------------------------------------------------------
 # Host-side precompute helpers (Python ints -> numpy u64)
 # ---------------------------------------------------------------------------
 

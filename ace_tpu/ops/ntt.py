@@ -156,6 +156,31 @@ def make_ntt_tables(primes: list[int], degree: int,
     )
 
 
+# jitted entry points: one XLA program per (shape, table-structure) —
+# eager per-stage dispatch dominates keygen/startup otherwise
+ntt_fwd_jit = None
+ntt_inv_jit = None
+
+
+def _jitted():
+    global ntt_fwd_jit, ntt_inv_jit
+    if ntt_fwd_jit is None:
+        import jax
+        ntt_fwd_jit = jax.jit(ntt_fwd)
+        ntt_inv_jit = jax.jit(ntt_inv)
+    return ntt_fwd_jit, ntt_inv_jit
+
+
+def fwd(coeffs, t: "NttTables"):
+    """Jitted forward NTT (use in op pipelines)."""
+    return _jitted()[0](coeffs, t)
+
+
+def inv(values, t: "NttTables"):
+    """Jitted inverse NTT (use in op pipelines)."""
+    return _jitted()[1](values, t)
+
+
 def slice_tables(tables: NttTables, start: int, count: int) -> NttTables:
     """Tables for limbs [start, start+count) of the full chain."""
     return gather_tables(tables, range(start, start + count))

@@ -87,7 +87,7 @@ def mul(a: RnsPoly, b: RnsPoly, ctx: CrtContext) -> RnsPoly:
     assert a.is_ntt and b.is_ntt
     assert a.num_q == b.num_q and a.num_p == b.num_p
     q, mu_hi, mu_lo = _mods(a, ctx)
-    return RnsPoly(modops.barrett_mul(a.data, b.data, q, mu_hi, mu_lo),
+    return RnsPoly(modops.barrett_mul_d(a.data, b.data, q, mu_hi, mu_lo),
                    a.num_q, a.num_p, a.is_ntt)
 
 
@@ -104,8 +104,8 @@ def mul_scalars(a: RnsPoly, scalars: list[int], ctx: CrtContext) -> RnsPoly:
     w_prec = modops.np_u64(
         [[modops.precompute_shoup(s % q, q)] for s, q in zip(scalars, qs)])
     q, _, _ = _mods(a, ctx)
-    return RnsPoly(modops.shoup_mul(a.data, jnp.asarray(w),
-                                    jnp.asarray(w_prec), q),
+    return RnsPoly(modops.shoup_mul_d(a.data, jnp.asarray(w),
+                                      jnp.asarray(w_prec), q),
                    a.num_q, a.num_p, a.is_ntt)
 
 
@@ -116,13 +116,13 @@ def mul_scalars(a: RnsPoly, scalars: list[int], ctx: CrtContext) -> RnsPoly:
 def to_ntt(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
     assert not a.is_ntt
     t = ntt.gather_tables(ctx.ntt_tables, _limb_indices(a, ctx))
-    return RnsPoly(ntt.ntt_fwd(a.data, t), a.num_q, a.num_p, True)
+    return RnsPoly(ntt.fwd(a.data, t), a.num_q, a.num_p, True)
 
 
 def from_ntt(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
     assert a.is_ntt
     t = ntt.gather_tables(ctx.ntt_tables, _limb_indices(a, ctx))
-    return RnsPoly(ntt.ntt_inv(a.data, t), a.num_q, a.num_p, False)
+    return RnsPoly(ntt.inv(a.data, t), a.num_q, a.num_p, False)
 
 
 # ---------------------------------------------------------------------------
@@ -231,13 +231,13 @@ def mod_up(part: RnsPoly, ctx: CrtContext, num_q_live: int,
     if part.is_ntt:
         part_tables = ntt.gather_tables(
             ctx.ntt_tables, [start + i for i in range(sz)])
-        coeff_data = ntt.ntt_inv(part.data, part_tables)
+        coeff_data = ntt.inv(part.data, part_tables)
     else:
         coeff_data = part.data
     ext = _base_conv_data(coeff_data, part_qs, compl_qs, hat_inv, mat_t)
     if part.is_ntt:
         compl_tables = ntt.gather_tables(ctx.ntt_tables, compl_idx)
-        ext = ntt.ntt_fwd(ext, compl_tables)
+        ext = ntt.fwd(ext, compl_tables)
 
     # splice: [ext[:start], original digit, ext[start:]]
     # (polynomial.c:916-922 — the digit's own limbs stay untouched)
@@ -254,19 +254,19 @@ def mod_down(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
     p_idx = [ctx.num_q + j for j in range(ctx.num_p)]
     if a.is_ntt:
         p_tables = ntt.gather_tables(ctx.ntt_tables, p_idx)
-        p_part = ntt.ntt_inv(p_part, p_tables)
+        p_part = ntt.inv(p_part, p_tables)
     q_list = ctx.q_primes[:level]
     conv = _base_conv_data(
         p_part, ctx.p_primes, q_list, ctx.p_hat_inv_mod_p,
         [row for row in ctx.p_hat_mod_q[:level]])
     if a.is_ntt:
         q_tables = ntt.gather_tables(ctx.ntt_tables, list(range(level)))
-        conv = ntt.ntt_fwd(conv, q_tables)
+        conv = ntt.fwd(conv, q_tables)
     q, mu_hi, mu_lo = ctx.mod_arrays(range(level))
     diff = modops.sub_mod(a.data[:level], conv, q)
     p_inv = jnp.asarray(modops.np_u64(
         [[v] for v in ctx.p_inv_mod_q[:level]]))
-    out = modops.barrett_mul(diff, p_inv, q, mu_hi, mu_lo)
+    out = modops.barrett_mul_d(diff, p_inv, q, mu_hi, mu_lo)
     return RnsPoly(out, level, 0, a.is_ntt)
 
 
@@ -315,7 +315,7 @@ def rescale(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
     k = level - 2
 
     last_tables = ntt.gather_tables(ctx.ntt_tables, [level - 1])
-    last = ntt.ntt_inv(a.data[level - 1:level], last_tables)  # [1, N]
+    last = ntt.inv(a.data[level - 1:level], last_tables)  # [1, N]
 
     rem = level - 1
     rem_qs = qs[:rem]
@@ -338,11 +338,11 @@ def rescale(a: RnsPoly, ctx: CrtContext) -> RnsPoly:
         [[modops.precompute_shoup(v, q)] for v, q in zip(qlql, rem_qs)]))
     corr = modops.shoup_mul(sm, qlql_w, qlql_prec, new_q)
     rem_tables = ntt.gather_tables(ctx.ntt_tables, list(range(rem)))
-    corr = ntt.ntt_fwd(corr, rem_tables)
+    corr = ntt.fwd(corr, rem_tables)
 
     ql_inv = ctx.ql_inv_mod_qi[k]
     inv_w = jnp.asarray(modops.np_u64([[v] for v in ql_inv]))
     inv_prec = jnp.asarray(modops.np_u64(
         [[modops.precompute_shoup(v, q)] for v, q in zip(ql_inv, rem_qs)]))
-    scaled = modops.shoup_mul(a.data[:rem], inv_w, inv_prec, new_q)
+    scaled = modops.shoup_mul_d(a.data[:rem], inv_w, inv_prec, new_q)
     return RnsPoly(modops.add_mod(scaled, corr, new_q), rem, 0, True)
