@@ -342,30 +342,20 @@ class BootstrapContext:
                 if apply_scale else 1.0
             # hoisted extended-basis BSGS accumulation: one digit
             # decompose for all rotations of this level, one mod-down
-            # at the end (Rotate_iteration's hoisting, :1284-1365)
-            digits = None
-            acc = None
+            # at the end (Rotate_iteration's hoisting, :1284-1365) —
+            # the whole level runs as one jitted program
+            pls = []
+            live_offs = []
             for u, off in enumerate(offs):
                 diag = coeff[s][u] * scale
                 if not np.any(diag):
                     continue
-                if off == 0:
-                    ext = ev.to_ext(ct)
-                else:
-                    if digits is None:
-                        digits = ev.switch_key_precompute(ct.c1)
-                    ext = ev.rotate_ext(ct, off, digits)
-                pl = self._encode_diag(ext, diag)
-                term = ev.mul_plain(ext, pl)
-                acc = term if acc is None else ev.add(acc, term)
-            ct = ev.mod_down_ciph(acc)
+                live_offs.append(off)
+                pls.append(ev.encoder.encode(diag, level=ct.level,
+                                             slots=len(diag),
+                                             extended=True))
+            ct = ev.rot_ext_mac_groups_jit(ct, live_offs, [pls])[0]
         return ct
-
-    def _encode_diag(self, ct: Ciphertext, diag: np.ndarray):
-        # sparse diagonals use the encoder's gap interleave directly
-        return self.ev.encoder.encode(diag, level=ct.level,
-                                      slots=len(diag),
-                                      extended=ct.c0.num_p > 0)
 
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         return self._transform(ct, True)

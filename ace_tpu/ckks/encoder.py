@@ -46,6 +46,36 @@ class Plaintext:
         return self.poly.num_q
 
 
+def _llround_interleave(to_scale: np.ndarray, scale: float, n: int,
+                        slots: int, gap: int) -> np.ndarray:
+    """llround(x*scale + 0.5) per slot (+0.5 bias per ckks_encoder.c:248,
+    llround = ties away from zero), interleaved real/imag at `gap`.
+    float64 arithmetic matches the reference's double math exactly."""
+    sr = to_scale.real * scale + 0.5
+    si = to_scale.imag * scale + 0.5
+
+    def llround(v):
+        return np.where(v >= 0, np.floor(v + 0.5),
+                        -np.floor(-v + 0.5)).astype(np.int64)
+
+    message = np.zeros(n, dtype=np.int64)
+    idx = np.arange(slots) * gap
+    message[idx] = llround(sr)
+    message[idx + slots * gap] = llround(si)
+    return message
+
+
+def _signed_to_rns(message: np.ndarray, primes) -> np.ndarray:
+    """Canonical residue rows per prime from signed int64 coefficients."""
+    out = np.empty((len(primes), len(message)), dtype=np.uint64)
+    neg = message < 0
+    mag = np.abs(message).astype(np.uint64)
+    for i, q in enumerate(primes):
+        r = mag % np.uint64(q)
+        out[i] = np.where(neg & (r != 0), np.uint64(q) - r, r)
+    return out
+
+
 def _bit_reverse_perm(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
     idx = np.arange(n)
@@ -67,6 +97,7 @@ class Encoder:
             self.rot_group[i] = (5 * self.rot_group[i - 1]) % self.fft_length
         ang = 2 * np.pi * np.arange(self.fft_length) / self.fft_length
         self.rou = np.cos(ang) + 1j * np.sin(ang)
+        self._value_cache: dict = {}
 
     # -- special FFT (ntt.c:678-753) ------------------------------------
 
@@ -137,20 +168,9 @@ class Encoder:
         to_scale = self.embedding_inv(values)
         delta = params.scaling_factor
         gap = n // (slots * 2)
-        message = [0] * n
-        for i in range(slots):
-            sr = to_scale[i].real * delta + 0.5
-            si = to_scale[i].imag * delta + 0.5
-            # llround: nearest, ties away from zero
-            message[i * gap] = int(math.floor(sr + 0.5)) if sr >= 0 \
-                else -int(math.floor(-sr + 0.5))
-            message[(i + slots) * gap] = int(math.floor(si + 0.5)) if si >= 0 \
-                else -int(math.floor(-si + 0.5))
-
+        message = _llround_interleave(to_scale, delta, n, slots, gap)
         primes = crt.q_primes[:level] + (crt.p_primes if extended else [])
-        data = np.stack([
-            modops.np_u64([c % q for c in message])
-            for q in primes])
+        data = _signed_to_rns(message, primes)
         p = RnsPoly(jnp.asarray(data), level,
                     crt.num_p if extended else 0, False)
         if sf_degree > 1:
@@ -162,10 +182,16 @@ class Encoder:
 
     def encode_value(self, value: float, level: int,
                      sf_degree: int = 1) -> Plaintext:
-        """Encode a broadcast scalar (Encode_val_at_level)."""
-        slots = self.params.degree // 2
-        return self.encode(np.full(slots, value, np.complex128), level,
-                           slots, sf_degree)
+        """Encode a broadcast scalar (Encode_val_at_level). Cached —
+        constants like the Chebyshev coefficients recur at every level."""
+        key = (float(value), level, sf_degree)
+        cached = self._value_cache.get(key)
+        if cached is None:
+            slots = self.params.degree // 2
+            cached = self.encode(np.full(slots, value, np.complex128),
+                                 level, slots, sf_degree)
+            self._value_cache[key] = cached
+        return cached
 
     def encode_value_with_scale(self, value: float, level: int,
                                 scale: float) -> Plaintext:
@@ -177,23 +203,18 @@ class Encoder:
         slots = n // 2
         values = np.full(slots, value, np.complex128)
         to_scale = self.embedding_inv(values)
-        gap = 1
-        message = [0] * n
-        for i in range(slots):
-            sr = to_scale[i].real * scale + 0.5
-            si = to_scale[i].imag * scale + 0.5
-            message[i * gap] = int(math.floor(sr + 0.5)) if sr >= 0 \
-                else -int(math.floor(-sr + 0.5))
-            message[(i + slots) * gap] = int(math.floor(si + 0.5)) if si >= 0 \
-                else -int(math.floor(-si + 0.5))
-        data = np.stack([
-            modops.np_u64([c % q for c in message])
-            for q in crt.q_primes[:level]])
+        message = _llround_interleave(to_scale, scale, n, slots, 1)
+        data = _signed_to_rns(message, crt.q_primes[:level])
         p = P.to_ntt(RnsPoly(jnp.asarray(data), level, 0, False), crt)
         return Plaintext(p, scale, 1, slots)
 
     def decode(self, plain: Plaintext, length: int = 0) -> np.ndarray:
-        """Exact CRT reconstruction + embedding (ckks_encoder.c:649-703)."""
+        """Exact CRT reconstruction + embedding (ckks_encoder.c:649-703).
+
+        Vectorized exact CRT: Python-int object arrays, one pass per
+        limb, restricted to the 2*slots coefficient columns the message
+        occupies.
+        """
         crt = self.params.crt
         poly = plain.poly
         if poly.is_ntt:
@@ -203,25 +224,25 @@ class Encoder:
         slots = plain.slots
         gap = (n // 2) // slots
         qs = crt.q_primes[:level]
+        data = np.asarray(poly.data)
+        idx = np.concatenate([np.arange(slots) * gap,
+                              np.arange(slots) * gap + n // 2])
+        cols = data[:, idx]  # [level, 2*slots]
         Q = 1
         for q in qs:
             Q *= q
+        half_q = Q // 2
         hats = [Q // q for q in qs]
         hat_invs = [pow(h % q, -1, q) for h, q in zip(hats, qs)]
-        data = np.asarray(poly.data)
-        half_q = Q // 2
-        msg = np.empty(slots, dtype=np.complex128)
-        for i in range(slots):
-            vals = []
-            for idx in (i * gap, i * gap + n // 2):
-                acc = 0
-                for l in range(level):
-                    acc += (int(data[l, idx]) * hat_invs[l] % qs[l]) * hats[l]
-                acc %= Q
-                if acc > half_q:
-                    acc -= Q
-                vals.append(float(acc))
-            msg[i] = complex(vals[0] / plain.scaling_factor,
-                             vals[1] / plain.scaling_factor)
+        # vectorized exact CRT over Python-int object arrays, one pass
+        # per limb (object math only on the selected 2*slots columns)
+        acc = np.zeros(2 * slots, dtype=object)
+        for l in range(level):
+            t = (cols[l].astype(object) * hat_invs[l]) % qs[l]
+            acc += t * hats[l]
+        acc %= Q
+        acc = np.where(acc > half_q, acc - Q, acc)
+        vals = acc.astype(np.float64) / plain.scaling_factor
+        msg = vals[:slots] + 1j * vals[slots:]
         res = self.embedding(msg)
         return res[:length] if length else res

@@ -125,12 +125,13 @@ _PALLAS_MIN_ELEMS = 1 << 17
 
 
 def _use_pallas(x) -> bool:
+    """Default OFF: measured on v5e, XLA's fused u64 emulation beats the
+    standalone DMA-loop kernel for single elementwise ops (0.95 vs
+    1.4 ms at [24, 2^16]) — the Pallas win is VMEM residency across
+    many stages (the NTT), not u32 planes per se. ACE_TPU_PALLAS_EW=on
+    re-enables for experiments."""
     import os
-    mode = os.environ.get("ACE_TPU_PALLAS_EW", "auto")
-    if mode == "off":
-        return False
-    import jax
-    if jax.default_backend() == "cpu" and mode != "on":
+    if os.environ.get("ACE_TPU_PALLAS_EW", "off") != "on":
         return False
     return x.ndim == 2 and x.size >= _PALLAS_MIN_ELEMS
 

@@ -197,7 +197,9 @@ def _elementwise_call(compute, arrays):
     row-chunks resident in VMEM; returns (lo, hi) planes [L, N]."""
     n_in = len(arrays)
     L, N = arrays[0].shape
-    budget = 6 << 20
+    # scratch + the barrett/shoup chains' live temporaries (~1.5x the
+    # operand footprint) must fit the 16MB VMEM scoped limit
+    budget = 2 << 20
     chunk = max(1, budget // ((n_in + 2) * N * 4))
     chunk = min(chunk, L)
     steps = -(-L // chunk)
