@@ -116,11 +116,26 @@ class Evaluator:
         return self.add_plain(a, pl)
 
     def mul_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
-        crt = self.crt
-        return Ciphertext(P.mul(a.c0, plain.poly, crt),
-                          P.mul(a.c1, plain.poly, crt),
+        level = a.level
+        num_p = a.c0.num_p
+        fn = self._get_jit(("mp", level, num_p), self._mk_mul_plain,
+                           level, num_p)
+        d0, d1 = fn(a.c0.data, a.c1.data, plain.poly.data)
+        return Ciphertext(RnsPoly(d0, level, num_p, True),
+                          RnsPoly(d1, level, num_p, True),
                           a.scaling_factor * plain.scaling_factor,
                           a.sf_degree + plain.sf_degree, a.slots)
+
+    def _mk_mul_plain(self, level: int, num_p: int):
+        crt = self.crt
+
+        def impl(c0, c1, pl):
+            p = RnsPoly(pl, level, num_p, True)
+            return (P.mul(RnsPoly(c0, level, num_p, True), p, crt).data,
+                    P.mul(RnsPoly(c1, level, num_p, True), p, crt).data)
+
+        import jax
+        return jax.jit(impl)
 
     def mul_const(self, a: Ciphertext, val: float) -> Ciphertext:
         pl = self.encoder.encode_value(val, a.level, 1)
@@ -472,6 +487,69 @@ class Evaluator:
 
         import jax
         return jax.jit(impl)
+
+    def _mk_rot_sum(self, auto_idxs: tuple, level: int):
+        crt = self.crt
+        num_p = crt.num_p
+
+        def impl(cs, keys_b, keys_a):
+            acc0 = acc1 = None
+            ki = 0
+            for i, ai in enumerate(auto_idxs):
+                c0 = RnsPoly(cs[i][0], level, 0, True)
+                c1 = RnsPoly(cs[i][1], level, 0, True)
+                if ai == 1:
+                    e0 = self._p_scale(c0, True)
+                    e1 = self._p_scale(c1, True)
+                else:
+                    key = SwitchKey(
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in keys_b[ki]],
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in keys_a[ki]])
+                    ki += 1
+                    digits = self._switch_key_digits(c1)
+                    e0, e1 = self._switch_key_ext(key, digits, level)
+                    c0p = self._p_scale(c0)
+                    q, _, _ = crt.mod_arrays(range(level))
+                    top = modops.add_mod(e0.data[:level], c0p.data, q)
+                    e0 = RnsPoly(
+                        jnp.concatenate([top, e0.data[level:]], axis=0),
+                        level, num_p, True)
+                    e0 = P.automorphism(e0, ai, crt)
+                    e1 = P.automorphism(e1, ai, crt)
+                acc0 = e0 if acc0 is None else P.add(acc0, e0, crt)
+                acc1 = e1 if acc1 is None else P.add(acc1, e1, crt)
+            return (P.mod_down(acc0, crt).data, P.mod_down(acc1, crt).data)
+
+        import jax
+        return jax.jit(impl)
+
+    def rot_sum_jit(self, items: list) -> Ciphertext:
+        """sum_i rot(ct_i, r_i) with one trailing mod-down, as a single
+        jitted program (mod-down hoisting across different inputs —
+        the Add_ciphertext-in-QP pattern of ut_ksw_opt.cxx:349-375)."""
+        level = items[0][0].level
+        auto_idxs = []
+        keys_b, keys_a = [], []
+        for ct, r in items:
+            assert ct.level == level, "rot_sum inputs must share a level"
+            if r == 0:
+                auto_idxs.append(1)
+                continue
+            ai, key = self.keygen.rot_key(r)
+            auto_idxs.append(ai)
+            kb, ka = self._key_raw(key)
+            keys_b.append(kb)
+            keys_a.append(ka)
+        fn = self._get_jit(("rsum", tuple(auto_idxs), level),
+                           self._mk_rot_sum, tuple(auto_idxs), level)
+        cs = [(ct.c0.data, ct.c1.data) for ct, _ in items]
+        d0, d1 = fn(cs, keys_b, keys_a)
+        ct0 = items[0][0]
+        return Ciphertext(RnsPoly(d0, level, 0, True),
+                          RnsPoly(d1, level, 0, True),
+                          ct0.scaling_factor, ct0.sf_degree, ct0.slots)
 
     def rot_ext_mac_groups_jit(self, ct: Ciphertext, rots: list,
                                plain_groups: list) -> list:

@@ -180,14 +180,21 @@ class FheBackend:
         return outs
 
     def rot_sum(self, items):
-        """sum_i rot(ct_i, r_i) with a single trailing mod-down."""
-        ev = self.ev
-        acc = None
-        for ct, r in items:
-            ct = self._norm(ct)
-            ext = ev.to_ext(ct) if r == 0 else ev.rotate_ext(ct, r)
-            acc = ext if acc is None else ev.add(acc, ext)
-        return ev.mod_down_ciph(acc)
+        """sum_i rot(ct_i, r_i) with a single trailing mod-down (one
+        jitted program for the whole accumulation)."""
+        from ace_tpu.ckks.cipher import Ciphertext
+        from ace_tpu.poly.poly import RnsPoly
+        items = [(self._norm(ct), r) for ct, r in items]
+        lv = min(ct.level for ct, _ in items)
+
+        def cut(c):
+            if c.level == lv:
+                return c
+            return Ciphertext(RnsPoly(c.c0.data[:lv], lv, 0, c.c0.is_ntt),
+                              RnsPoly(c.c1.data[:lv], lv, 0, c.c1.is_ntt),
+                              c.scaling_factor, c.sf_degree, c.slots)
+
+        return self.ev.rot_sum_jit([(cut(ct), r) for ct, r in items])
 
     def _pad(self, w):
         vec = np.zeros(self.n_slots, dtype=np.complex128)

@@ -84,8 +84,8 @@ def main():
     tables = params.crt.ntt_tables
     sub = ntt.gather_tables(tables, list(range(args.num_q)))
     coeffs = P.from_ntt(ct1.c0, params.crt)
-    run("ntt_fwd", lambda: ntt.ntt_fwd(coeffs.data, sub), lambda r: r)
-    run("ntt_inv", lambda: ntt.ntt_inv(ct1.c0.data, sub), lambda r: r)
+    run("ntt_fwd", lambda: ntt.fwd(coeffs.data, sub), lambda r: r)
+    run("ntt_inv", lambda: ntt.inv(ct1.c0.data, sub), lambda r: r)
 
     if args.bootstrap:
         bts = ctx.bootstrap_precom(n_slots)
