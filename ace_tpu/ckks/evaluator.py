@@ -111,9 +111,37 @@ class Evaluator:
         return Ciphertext(P.sub(a.c0, plain.poly, self.crt), a.c1,
                           a.scaling_factor, a.sf_degree, a.slots)
 
+    def _const_int(self, val: float, sf_degree: int) -> int:
+        """llround(val * Delta) * Delta^(sf_degree-1) as an exact int —
+        the same value encode() produces for a broadcast scalar (the
+        scale-then-power structure of Encode_impl's sf_degree>1 path),
+        without the embedding round-trip: the canonical embedding of a
+        constant vector is the constant polynomial."""
+        delta = self.params.scaling_factor
+        m = val * delta
+        m = int(np.floor(m + 0.5)) if m >= 0 else -int(np.floor(-m + 0.5))
+        return m * int(delta) ** (sf_degree - 1)
+
     def add_const(self, a: Ciphertext, val: float) -> Ciphertext:
-        pl = self.encoder.encode_value(val, a.level, a.sf_degree)
-        return self.add_plain(a, pl)
+        """Add a broadcast scalar: constant-polynomial fast path — in
+        NTT form the constant c contributes c to every slot of c0."""
+        c = self._const_int(val, a.sf_degree)
+        level = a.level
+        qs = self.crt.q_primes[:level]
+        res = modops.np_u64([[c % q] for q in qs])
+        fn = self._get_jit(("addc", level), self._mk_add_scalar, level)
+        d0 = fn(a.c0.data, jnp.asarray(res))
+        return Ciphertext(RnsPoly(d0, level, 0, True), a.c1,
+                          a.scaling_factor, a.sf_degree, a.slots)
+
+    def _mk_add_scalar(self, level: int):
+        q, _, _ = self.crt.mod_arrays(range(level))
+
+        def impl(c0, res):
+            return modops.add_mod(c0, res, q)
+
+        import jax
+        return jax.jit(impl)
 
     def mul_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         level = a.level
@@ -138,8 +166,15 @@ class Evaluator:
         return jax.jit(impl)
 
     def mul_const(self, a: Ciphertext, val: float) -> Ciphertext:
-        pl = self.encoder.encode_value(val, a.level, 1)
-        return self.mul_plain(a, pl)
+        """Multiply by a broadcast scalar: per-limb Shoup scalar multiply
+        (constant-polynomial fast path; scale grows by Delta)."""
+        c = self._const_int(val, 1)
+        out = Ciphertext(
+            P.mul_scalars(a.c0, [c] * a.level, self.crt),
+            P.mul_scalars(a.c1, [c] * a.level, self.crt),
+            a.scaling_factor * self.params.scaling_factor,
+            a.sf_degree + 1, a.slots)
+        return out
 
     def mul_integer(self, a: Ciphertext, k: int) -> Ciphertext:
         idx = list(range(a.level))
@@ -242,10 +277,13 @@ class Evaluator:
 
     def upscale(self, a: Ciphertext, mod_size: int) -> Ciphertext:
         """Multiply by an encoding of 1.0 at scale 2^mod_size
-        (ckks_evaluator.c:331-345)."""
-        up = 2.0 ** mod_size
-        pl = self.encoder.encode_value_with_scale(1.0, a.level, up)
-        return self.mul_plain(a, pl)
+        (ckks_evaluator.c:331-345) — a constant polynomial with
+        coefficient exactly 2^mod_size, so a per-limb scalar multiply."""
+        up = 1 << mod_size
+        return Ciphertext(
+            P.mul_scalars(a.c0, [up] * a.level, self.crt),
+            P.mul_scalars(a.c1, [up] * a.level, self.crt),
+            a.scaling_factor * float(up), a.sf_degree + 1, a.slots)
 
     def downscale(self, a: Ciphertext, waterline: int) -> Ciphertext:
         """Normalize scale back to one Delta (ckks_evaluator.c:347-366)."""
