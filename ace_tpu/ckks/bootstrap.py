@@ -340,22 +340,67 @@ class BootstrapContext:
                 s == (start if encoding else end - 1))
             scale = (self.scale_enc if encoding else self.scale_dec) \
                 if apply_scale else 1.0
-            # hoisted extended-basis BSGS accumulation: one digit
-            # decompose for all rotations of this level, one mod-down
-            # at the end (Rotate_iteration's hoisting, :1284-1365) —
-            # the whole level runs as one jitted program
+            diags = [coeff[s][u] * scale for u in range(nr)]
+            g = p["g_rem"] if is_rem else p["g"]
+            ct = self._bsgs_level(ct, offs, diags, shift, g, slots_value)
+        return ct
+
+    def _bsgs_level(self, ct: Ciphertext, offs, diags, shift: int,
+                    g: int, slots_value: int) -> Ciphertext:
+        """One collapsed FFT level as baby-step/giant-step rotations
+        (Rotate_iteration, ckks_bootstrap_context.c:1284-1365): baby
+        rotations feed per-giant-step MAC groups whose diagonals are
+        pre-rotated by the giant offset; the giant accumulation is a
+        single extended-basis rot_sum. b+g key-switches instead of
+        num_rot, all inside two jitted programs.
+
+        Falls back to direct hoisted rotations when the ring is
+        sparse-packed (diag roll units differ from rotation units) or
+        the level is small.
+        """
+        ev = self.ev
+        nr = len(offs)
+        slots = self.slots
+        full_pack = (slots == ev.params.degree // 2)
+        if not full_pack or g <= 1 or nr <= g:
             pls = []
-            live_offs = []
-            for u, off in enumerate(offs):
-                diag = coeff[s][u] * scale
+            live = []
+            for off, diag in zip(offs, diags):
                 if not np.any(diag):
                     continue
-                live_offs.append(off)
+                live.append(off)
                 pls.append(ev.encoder.encode(diag, level=ct.level,
                                              slots=len(diag),
                                              extended=True))
-            ct = ev.rot_ext_mac_groups_jit(ct, live_offs, [pls])[0]
-        return ct
+            return ev.rot_ext_mac_groups_jit(ct, live, [pls])[0]
+
+        h = (nr + 1) // 2 - 1  # offs[u] = (u - h) * shift
+        baby_offs = [reduce_rotation(j * shift, slots_value)
+                     for j in range(g)]
+        groups = []
+        giants = []
+        for i in range(-(-nr // g)):
+            giant = (i * g - h) * shift
+            rows = []
+            any_live = False
+            for j in range(g):
+                u = i * g + j
+                if u >= nr or not np.any(diags[u]):
+                    rows.append(None)
+                    continue
+                # rot(d', giant) must equal diag: d'[t] = diag[t - giant]
+                rows.append(np.roll(diags[u], giant % slots))
+                any_live = True
+            if any_live:
+                groups.append([
+                    None if r is None else ev.encoder.encode(
+                        r, level=ct.level, slots=slots, extended=True)
+                    for r in rows])
+                giants.append(reduce_rotation(giant, slots_value))
+        inners = ev.rot_ext_mac_groups_jit(ct, baby_offs, groups)
+        # inner results carry sf_degree +1; rot_sum preserves it
+        out = ev.rot_sum_jit(list(zip(inners, giants)))
+        return out
 
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         return self._transform(ct, True)
