@@ -57,10 +57,18 @@ def _signed_to_rns(samples: np.ndarray, primes: list[int]) -> np.ndarray:
 
 
 class KeyGenerator:
-    def __init__(self, params: CkksParams, rng: np.random.Generator = None):
+    def __init__(self, params: CkksParams, rng: np.random.Generator = None,
+                 max_rot_keys: int = 0):
+        """max_rot_keys: LRU capacity for rotation keys (0 = unbounded).
+        A full ResNet needs ~227 rotation keys (ace_pre.log:28) at
+        ~170 MB each at N=2^16 — beyond one chip's HBM. Evicted keys
+        are regenerated on demand with fresh randomness (each switching
+        key is an independent encryption of the rotated secret, so
+        regeneration is semantically free)."""
         self.params = params
         self.crt = params.crt
         self.rng = rng or np.random.default_rng()
+        self.max_rot_keys = max_rot_keys
         self.sk = self._gen_secret_key()
         self.pk = self._gen_public_key()
         self.relin_key = self._gen_relin_key()
@@ -145,15 +153,20 @@ class KeyGenerator:
     def rot_key(self, rotation: int) -> tuple[int, SwitchKey]:
         """Rotation key for slot-rotation `rotation`; returns (auto_idx,
         key). Key maps sigma_{k^-1}(s) -> s so rotation is applied after
-        key-switching (ckks_key_generator.c:238-268, is_fast path)."""
+        key-switching (ckks_key_generator.c:238-268, is_fast path).
+        LRU-evicts + regenerates beyond max_rot_keys."""
         n = self.params.degree
         auto_idx = nt.find_automorphism_index(rotation, 2 * n)
-        if auto_idx not in self._rot_keys:
+        key = self._rot_keys.pop(auto_idx, None)
+        if key is None:
             gen_idx = nt.mod_inv(auto_idx, 2 * n)
             rotated = P.automorphism(self.sk.ntt_sk, gen_idx, self.crt)
-            self._rot_keys[auto_idx] = self._gen_switching_key(
-                self.sk.ntt_sk, rotated)
-        return auto_idx, self._rot_keys[auto_idx]
+            key = self._gen_switching_key(self.sk.ntt_sk, rotated)
+            if self.max_rot_keys and len(self._rot_keys) >= self.max_rot_keys:
+                evict = next(iter(self._rot_keys))
+                del self._rot_keys[evict]
+        self._rot_keys[auto_idx] = key  # (re)insert as most recent
+        return auto_idx, key
 
     def all_keys(self) -> list[SwitchKey]:
         """Every evaluation key held (for the key-memory report,

@@ -309,10 +309,27 @@ def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
     when c_out >= c_in, else the plain tap path (c_in*khw rotations) —
     mirroring the reference's Conv_fast policy
     (tensor2vector_handler.h:275-285).
+
+    When c_out*h*w exceeds the ring (channel-expanding stride-2 layers),
+    the output channels are split into ring-sized chunks computed as
+    independent convs, each stride-compacted, then concatenated with
+    negative rotations — this keeps every ResNet layer inside N/2 =
+    c_in*h*w slots, one ring size below the reference's packing.
     """
     c_out = weight.shape[0]
     c_in = weight.shape[1]
     hw = h * w
+    if c_out * hw > be.n_slots:
+        assert stride > 1, "full-res output exceeds ring"
+        chunk = max(1, be.n_slots // hw)
+        ohw = (h // stride) * (w // stride)
+        items = []
+        for k in range(0, c_out, chunk):
+            cs = min(chunk, c_out - k)
+            part = conv2d(be, x, weight[k:k + cs], bias[k:k + cs], h, w,
+                          stride)
+            items.append((part, -(k * ohw)))
+        return rot_sum(be, items)
     if c_out >= c_in:
         acc = _conv2d_fast(be, x, weight, h, w)
     else:

@@ -114,12 +114,13 @@ def _slots_needed(op, graph) -> int:
         # after the metakernel (compiler/packing.py conv2d)
         hw = op.in_shape[2] * op.in_shape[3]
         if cout >= cin:
-            # fast path works at L = c_out*hw slots: either 2L <= slots
-            # (explicit dup2) or L == slots (full-ring wraparound), so
-            # L itself is the requirement — unlike the reference, whose
-            # explicit-dup metakernel forces 2L (hence its N=2^16 for
-            # ResNet vs our 2^15)
-            return cout * hw
+            # fast path works at L = c_out'*hw slots per output-channel
+            # chunk; channel-expanding convs split into chunks of c_in
+            # channels (conv2d's split branch), so the ring only needs
+            # the input block — unlike the reference, whose explicit-dup
+            # metakernel forces 2*c_out*hw (hence its N=2^16 for ResNet
+            # vs our 2^15)
+            return cin * hw
         import math as _m
         copies = max(_m.ceil((cout + cin) / cin), 2)
         return cin * hw * copies

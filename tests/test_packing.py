@@ -97,3 +97,22 @@ def test_conv2d_encrypted():
     got = enc.decode(ev.decrypt(out_ct)).real
     expect = ref_conv2d(x, w, b).reshape(-1)
     assert np.allclose(got[:len(expect)], expect, atol=5e-3)
+
+
+def test_conv2d_channel_split_matches_direct():
+    """Channel-expanding conv beyond the ring splits into chunks and
+    concatenates compacted outputs (the N/2 = c_in*h*w packing)."""
+    rng = np.random.default_rng(9)
+    c_in, c_out, h, w, s = 2, 4, 4, 4, 2
+    weight = rng.uniform(-1, 1, (c_out, c_in, 3, 3))
+    bias = rng.uniform(-0.5, 0.5, c_out)
+    x = rng.uniform(-1, 1, c_in * h * w)
+
+    # big ring: no split
+    be_big = pk.PlainBackend(256)
+    ref = pk.conv2d(be_big, be_big.pack(x), weight, bias, h, w, s)
+    # small ring: c_out*hw = 64 > 32 slots -> split into c_in-sized chunks
+    be_small = pk.PlainBackend(32)
+    got = pk.conv2d(be_small, be_small.pack(x), weight, bias, h, w, s)
+    n_out = c_out * (h // s) * (w // s)
+    assert np.allclose(got[:n_out], ref[:n_out], atol=1e-12)

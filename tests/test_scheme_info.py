@@ -50,7 +50,9 @@ def test_resnet20_params_match_reference():
     cfg = si.SchemeConfig(security_level=0, hamming_weight=192,
                           first_mod_size=60, scaling_mod_size=56)
     info = si.select_params(g, cfg)
-    assert info.poly_degree == 1 << 16  # stride-2 convs: 32*32*32 slots
+    # channel-split downsample convs keep every layer within the input
+    # block (16*32*32 slots), one ring size below the reference's 2^16
+    assert info.poly_degree == 1 << 15
     assert info.first_mod_size == 60 and info.scaling_mod_size == 56
     assert info.bootstrap_depth == 15
     assert info.q_part_num == 3
