@@ -246,6 +246,55 @@ def coeff_collapse(ksipows, rot_group, level_budget: int, flag: bool,
     return coeff
 
 
+def bootstrap_rotation_indices(degree: int, slots: int = 0,
+                               level_budget=(3, 3)) -> list:
+    """Rotation indices a bootstrap at this slot count will use
+    (Bootstrap_keygen's inventory, ckks_bootstrap_context.c:1194) —
+    host-only math, for key planning / the compile manifest."""
+    n = degree
+    slots = slots or n // 2
+    log_slots = int(math.log2(slots))
+    full_pack = slots == n // 2
+    out = set()
+    for encoding, budget in ((True, min(level_budget[0], log_slots) or 1),
+                             (False, min(level_budget[1], log_slots) or 1)):
+        p = fft_params(slots, budget)
+        slots_value = slots if encoding else (n // 2)
+        flag_rem = p["flag_rem"]
+        start = flag_rem if encoding else 0
+        end = budget if encoding else budget - flag_rem
+        steps = [(s, False) for s in range(start, end)]
+        if flag_rem:
+            steps.append((0 if encoding else budget - 1, True))
+        for s, is_rem in steps:
+            nr = p["num_rot_rem"] if is_rem else p["num_rot"]
+            g = p["g_rem"] if is_rem else p["g"]
+            if encoding:
+                shift = 1 if is_rem else \
+                    (1 << ((s - flag_rem) * p["layers_coll"]
+                           + p["rem_coll"]))
+            else:
+                shift = 1 << (s * p["layers_coll"])
+            h = (nr + 1) // 2 - 1
+            if full_pack and g > 1 and nr > g:
+                for j in range(g):
+                    out.add(reduce_rotation(j * shift, slots_value))
+                for i in range(-(-nr // g)):
+                    out.add(reduce_rotation((i * g - h) * shift,
+                                            slots_value))
+            else:
+                for u in range(nr):
+                    out.add(reduce_rotation((u - h) * shift, slots_value))
+    if not full_pack:
+        step = slots
+        while step < n // 2:
+            out.add(step)
+            step *= 2
+        out.add(slots)
+    out.discard(0)
+    return sorted(out)
+
+
 class BootstrapContext:
     """Per-slot-count bootstrap precompute bound to an Evaluator."""
 

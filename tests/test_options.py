@@ -29,3 +29,20 @@ def test_parse_args_build_script_line():
     assert extras["p2c"]["df"] == "weights.msg"
     assert glob.trace
     assert extras["inputs"] == ["model.onnx"]
+
+
+def test_compile_driver_manifest(tmp_path):
+    """fhe_cmplr-analog compile: manifest + weight file from reference
+    build-script flags."""
+    import json
+    from ace_tpu.driver import main
+    man = tmp_path / "m.json"
+    wf = tmp_path / "w.msg"
+    rc = main(["/root/reference/model/resnet20_cifar10_pre.onnx",
+               "-CKKS:sk_hw=192:q0=60:sf=56:sec=0",
+               f"-P2C:df={wf}", "-o", str(man)])
+    assert rc == 0
+    m = json.loads(man.read_text())
+    assert m["scheme"]["poly_degree"] == 1 << 15
+    assert 200 <= len(m["rotate_indices"]) <= 300  # reference: 227
+    assert wf.stat().st_size > 1 << 20  # all resnet20 weights
