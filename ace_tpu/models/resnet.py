@@ -76,7 +76,8 @@ class CompiledModel:
 
 def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
                   ctx=None, num_classes: int = 10,
-                  check_every: bool = False) -> CompiledModel:
+                  check_every: bool = False,
+                  max_rot_keys: int = 0) -> CompiledModel:
     """The fhe_cmplr analog: NN graph -> params -> runtime context ->
     encrypted executable (GraphRunner over the FheBackend)."""
     from ace_tpu.runtime.context import FheContext
@@ -86,7 +87,14 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
     cfg = cfg or SchemeConfig()
     scheme = select_params(g, cfg)
     if ctx is None:
-        ctx = FheContext(scheme_info=scheme)
+        if max_rot_keys == 0:
+            # keep rotation keys within a single-chip HBM budget:
+            # ~10 GB of keys at this parameter set, LRU + regenerate
+            key_bytes = (scheme.q_part_num * 2
+                         * (scheme.mul_level + 1 + scheme.p_prime_num)
+                         * scheme.poly_degree * 8)
+            max_rot_keys = max(16, (10 << 30) // key_bytes)
+        ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys)
     be = pk.FheBackend(ctx.evaluator, ctx.encoder,
                        bootstrap_fn=ctx.bootstrap)
     if check_every:

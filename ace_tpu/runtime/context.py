@@ -23,7 +23,7 @@ class FheContext:
 
     def __init__(self, params: CkksParams = None, *, scheme_info=None,
                  seed: int = 0, bootstrap_slots: tuple = (),
-                 level_budget=(3, 3)):
+                 level_budget=(3, 3), max_rot_keys: int = 0):
         from ace_tpu.ckks.encoder import Encoder
         from ace_tpu.ckks.keygen import KeyGenerator
         from ace_tpu.ckks.evaluator import Evaluator
@@ -39,7 +39,8 @@ class FheContext:
         self.params = params
         with TIMING.tm("RTM_PREPARE_CONTEXT"):
             self.encoder = Encoder(params)
-            self.keygen = KeyGenerator(params, np.random.default_rng(seed))
+            self.keygen = KeyGenerator(params, np.random.default_rng(seed),
+                                       max_rot_keys=max_rot_keys)
             self.evaluator = Evaluator(params, self.keygen, self.encoder)
             self._bts = {}
             for slots in bootstrap_slots:
