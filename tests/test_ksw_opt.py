@@ -81,3 +81,20 @@ def test_shared_digits_many_rotations(ctx):
         got = enc.decode(ev.decrypt(
             ev.mod_down_ciph(ev.rotate_ext(ct, r, digits))))
         assert np.allclose(got, np.roll(m, -r), atol=EPS), r
+
+
+def test_rot_key_lru_regeneration(ctx):
+    """Evicted rotation keys regenerate with fresh randomness and still
+    decrypt correctly (keys are independent encryptions of the rotated
+    secret)."""
+    from ace_tpu.ckks.keygen import KeyGenerator
+    from ace_tpu.ckks.evaluator import Evaluator
+    params, enc, kg0, _ = ctx
+    kg = KeyGenerator(params, np.random.default_rng(5), max_rot_keys=2)
+    ev = Evaluator(params, kg, enc)
+    m = RNG.uniform(-1, 1, 8) + 1j * RNG.uniform(-1, 1, 8)
+    ct = ev.encrypt(enc.encode(m))
+    for r in (1, 2, 3, 1, 4, 2):   # forces evictions and regenerations
+        got = enc.decode(ev.decrypt(ev.rotate(ct, r)))
+        assert np.allclose(got, np.roll(m, -r), atol=EPS), r
+    assert len(kg._rot_keys) <= 2
