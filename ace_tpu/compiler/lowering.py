@@ -21,20 +21,25 @@ class GraphRunner:
                  relu_ranges: dict | None = None,
                  relu_range_default: float = 3.0,
                  relu_mul_depth: int = 13,
-                 bootstrap_before_relu: bool = False):
+                 bootstrap_before_relu: bool = False,
+                 trace=None):
         self.g = graph
         self.be = backend
         self.relu_ranges = relu_ranges or {}
         self.relu_range_default = relu_range_default
         self.relu_mul_depth = relu_mul_depth
         self.bootstrap_before_relu = bootstrap_before_relu
+        self.trace = trace  # callable(msg) — the -trace per-op log
 
     def run(self, x):
         """x: packed input handle (plain vector or ciphertext) holding
         the NCHW-flattened image."""
+        import time as _time
+        from ace_tpu.runtime.timing import TIMING
         be = self.be
         env = {self.g.input_name: x}
-        for op in self.g.ops:
+        for op_idx, op in enumerate(self.g.ops):
+            t_op = _time.perf_counter()
             xin = env[op.inputs[0]]
             if op.op_type == "Conv":
                 w = np.asarray(self.g.weights[op.inputs[1]], np.float64)
@@ -78,6 +83,15 @@ class GraphRunner:
             else:
                 raise NotImplementedError(op.op_type)
             env[op.outputs[0]] = out
+            # per-op timing buckets in the reference's perf.py naming
+            # (Tensor::conv / FHE::relu lines, rtlib_timing.h)
+            bucket = ("FHE::relu" if op.op_type == "Relu"
+                      else f"Tensor::{op.op_type.lower()}")
+            dt = _time.perf_counter() - t_op
+            TIMING.add(bucket, dt)
+            if self.trace is not None:
+                self.trace(f"[{op_idx + 1}/{len(self.g.ops)}] "
+                           f"{op.op_type} {op.name}: {dt:.2f}s")
         return env[self.g.output_name]
 
     def _relu(self, xin, op):

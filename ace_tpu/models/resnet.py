@@ -77,7 +77,7 @@ class CompiledModel:
 def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
                   ctx=None, num_classes: int = 10,
                   check_every: bool = False,
-                  max_rot_keys: int = 0) -> CompiledModel:
+                  max_rot_keys: int = 0, trace=None) -> CompiledModel:
     """The fhe_cmplr analog: NN graph -> params -> runtime context ->
     encrypted executable (GraphRunner over the FheBackend)."""
     from ace_tpu.runtime.context import FheContext
@@ -104,7 +104,7 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
         g, be, relu_ranges=cfg.relu_ranges,
         relu_range_default=cfg.relu_value_range,
         relu_mul_depth=cfg.relu_mul_depth,
-        bootstrap_before_relu=cfg.use_bootstrap)
+        bootstrap_before_relu=cfg.use_bootstrap, trace=trace)
     return CompiledModel(g, scheme, ctx, runner, num_classes)
 
 

@@ -61,9 +61,9 @@ def main():
                        use_bootstrap=any(op.op_type == "Relu"
                                          for op in g.ops))
     t0 = time.time()
-    model = M.compile_model(g, cfg,
-                            num_classes=100 if "cifar100" in args.model
-                            else 10)
+    model = M.compile_model(
+        g, cfg, num_classes=100 if "cifar100" in args.model else 10,
+        trace=lambda msg: print(f"# {msg}", file=sys.stderr, flush=True))
     print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "
           f"L={model.scheme.mul_level} "
           f"(context {time.time() - t0:.1f}s)", file=sys.stderr)
