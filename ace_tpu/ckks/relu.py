@@ -53,28 +53,39 @@ SIGN_CHEBYSHEV_DEPTH13 = [
 SIGN_TABLES = {11: SIGN_CHEBYSHEV_DEPTH11, 13: SIGN_CHEBYSHEV_DEPTH13}
 
 
-def sign_composite(ev, ct: Ciphertext, mul_depth: int = 13) -> Ciphertext:
-    """sign(x) for x in [-1, 1] via the composite Chebyshev chain."""
+def sign_composite(ev, ct: Ciphertext, mul_depth: int = 13,
+                   fold_half: bool = False) -> Ciphertext:
+    """sign(x) for x in [-1, 1] via the composite Chebyshev chain.
+
+    fold_half: evaluate 0.5*(sign(x)+1) instead by scaling the LAST
+    polynomial's Chebyshev coefficients by 0.5 and adding 0.5 to the
+    constant term (c0 carries the /2 convention) — the reference's
+    merge of the ReLU affine factor into the outermost polynomial
+    (tensor2sihe_impl.cxx:322)."""
     cheby = ChebyEvaluator(ev)
     out = ct
-    for coeffs in SIGN_TABLES[mul_depth]:
+    tables = SIGN_TABLES[mul_depth]
+    for i, coeffs in enumerate(tables):
+        if fold_half and i == len(tables) - 1:
+            coeffs = [0.5 * c for c in coeffs]
+            coeffs[0] += 1.0  # +0.5 in the c0/2 convention
         out = cheby.eval_chebyshev(out, coeffs, -1.0, 1.0)
     return out
 
 
 def relu(ev, ct: Ciphertext, value_range: float = 1.0,
          mul_depth: int = 13) -> Ciphertext:
-    """relu(x) = 0.5*x*(sign(x/range) + 1).
-
-    The reference merges the 0.5*x factor into the outermost composite
-    polynomial (tensor2sihe_impl.cxx:322 comment) to save one level;
-    here it costs one extra multiply — semantics identical.
-    """
+    """relu(x) = x * [0.5*(sign(x/range) + 1)], with the affine factor
+    folded into the outermost composite polynomial (one level cheaper
+    than forming 0.5*x separately)."""
     scaled = ct if value_range == 1.0 else \
         ev.rescale(ev.mul_const(ct, 1.0 / value_range))
-    s = sign_composite(ev, scaled, mul_depth)
-    s1 = ev.add_const(s, 1.0)
-    half_x = ev.rescale(ev.mul_const(ct, 0.5))
-    while half_x.level > s1.level:
-        half_x = ev.mod_switch(half_x)
-    return ev.rescale(ev.mul(half_x, s1))
+    s = sign_composite(ev, scaled, mul_depth, fold_half=True)
+    while s.sf_degree > 1:
+        s = ev.rescale(s)
+    x = ct
+    while x.sf_degree > 1:
+        x = ev.rescale(x)
+    while x.level > s.level:
+        x = ev.mod_switch(x)
+    return ev.rescale(ev.mul(x, s))
