@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--hamming-weight", type=int, default=192)
     ap.add_argument("--relu-depth", type=int, default=13)
     ap.add_argument("--relu-range", type=float, default=16.0)
+    ap.add_argument("--mul-level", type=int, default=0,
+                    help="force the q-chain length (e.g. run a truncated "
+                         "graph at full-model params so compiled programs "
+                         "are shared)")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -61,8 +65,16 @@ def main():
                        use_bootstrap=any(op.op_type == "Relu"
                                          for op in g.ops))
     t0 = time.time()
+    ctx = None
+    if args.mul_level:
+        from ace_tpu.compiler.scheme_info import select_params
+        from ace_tpu.runtime.context import FheContext
+        info = select_params(g, cfg)
+        info.mul_level = args.mul_level
+        ctx = FheContext(scheme_info=info, max_rot_keys=100)
     model = M.compile_model(
-        g, cfg, num_classes=100 if "cifar100" in args.model else 10,
+        g, cfg, ctx=ctx,
+        num_classes=100 if "cifar100" in args.model else 10,
         trace=lambda msg: print(f"# {msg}", file=sys.stderr, flush=True))
     print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "
           f"L={model.scheme.mul_level} "
