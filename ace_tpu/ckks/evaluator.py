@@ -566,7 +566,16 @@ class Evaluator:
     def rot_sum_jit(self, items: list) -> Ciphertext:
         """sum_i rot(ct_i, r_i) with one trailing mod-down, as a single
         jitted program (mod-down hoisting across different inputs —
-        the Add_ciphertext-in-QP pattern of ut_ksw_opt.cxx:349-375)."""
+        the Add_ciphertext-in-QP pattern of ut_ksw_opt.cxx:349-375).
+        Chunked like rot_ext_mac_groups_jit to bound program size."""
+        import os
+        max_bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE", "5"))
+        if len(items) > max_bundle:
+            acc = None
+            for s in range(0, len(items), max_bundle):
+                part = self.rot_sum_jit(items[s:s + max_bundle])
+                acc = part if acc is None else self.add(acc, part)
+            return acc
         level = items[0][0].level
         auto_idxs = []
         keys_b, keys_a = [], []
@@ -593,7 +602,35 @@ class Evaluator:
                                plain_groups: list) -> list:
         """[sum_i rot(ct, rots[i]) * plain_groups[g][i] for g] — one
         jitted XLA program per (rotation set, usage pattern, level).
-        plain_groups entries are extended-basis Plaintexts or None."""
+        plain_groups entries are extended-basis Plaintexts or None.
+
+        Rotation sets larger than ACE_TPU_MAX_BUNDLE (default 5) are
+        chunked into separate programs whose mod-downed partials are
+        summed — the remote AOT compiler cannot digest a 9-rotation
+        keyswitch bundle at deep L in reasonable time."""
+        import os
+        max_bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE", "5"))
+        if len(rots) > max_bundle:
+            total = [None] * len(plain_groups)
+            for s in range(0, len(rots), max_bundle):
+                sub_rots = rots[s:s + max_bundle]
+                sub_groups = [grp[s:s + max_bundle]
+                              for grp in plain_groups]
+                live_idx = [g for g, grp in enumerate(sub_groups)
+                            if any(p is not None for p in grp)]
+                if not live_idx:
+                    continue
+                parts = self.rot_ext_mac_groups_jit(
+                    ct, sub_rots, [sub_groups[g] for g in live_idx])
+                for g, part in zip(live_idx, parts):
+                    total[g] = part if total[g] is None \
+                        else self.add(total[g], part)
+            # all-zero groups: a zero ciphertext at the right scale
+            for g, v in enumerate(total):
+                if v is None:
+                    ref = next(x for x in total if x is not None)
+                    total[g] = self.sub(ref, ref)
+            return total
         level = ct.level
         auto_idxs = []
         keys_b, keys_a = [], []
