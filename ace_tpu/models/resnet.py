@@ -118,9 +118,20 @@ def infer_plain(graph: NNGraph, image: np.ndarray,
 
 def infer_encrypted(model: CompiledModel, image: np.ndarray) -> np.ndarray:
     """One encrypted inference; returns the logits (decrypted)."""
+    from ace_tpu.runtime.validate import ValidatingBackend, Shadow
     ctx = model.ctx
     ct = ctx.prepare_input(image, "input")
+    x = ctx.get_input_data("input")
+    be = model.runner.be
+    if isinstance(be, ValidatingBackend):
+        msg = np.zeros(be.n_slots)
+        flat = np.asarray(image, np.float64).reshape(-1)
+        msg[:flat.size] = flat
+        x = Shadow(x, msg)
     with TIMING.tm("RTM_MAIN_GRAPH"):
-        out = model.runner.run(ctx.get_input_data("input"))
+        out = model.runner.run(x)
+    if isinstance(be, ValidatingBackend):
+        be.check(out, "graph output")
+        out = out.ct
     ctx.set_output_data("output", out)
     return ctx.handle_output("output", model.num_classes)

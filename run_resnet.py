@@ -41,6 +41,9 @@ def main():
                     help="force the q-chain length (e.g. run a truncated "
                          "graph at full-model params so compiled programs "
                          "are shared)")
+    ap.add_argument("--rtt", action="store_true",
+                    help="runtime validation: lockstep plaintext shadow "
+                         "checks after every op (the -VEC:rtt analog)")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -73,7 +76,7 @@ def main():
         info.mul_level = args.mul_level
         ctx = FheContext(scheme_info=info, max_rot_keys=100)
     model = M.compile_model(
-        g, cfg, ctx=ctx,
+        g, cfg, ctx=ctx, check_every=args.rtt,
         num_classes=100 if "cifar100" in args.model else 10,
         trace=lambda msg: print(f"# {msg}", file=sys.stderr, flush=True))
     print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "

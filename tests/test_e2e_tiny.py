@@ -73,3 +73,16 @@ def test_tiny_cnn_encrypted_end_to_end():
     got = M.infer_encrypted(model, x)
     want = ref_forward(g, x)
     assert np.max(np.abs(got - want)) < 5e-2, (got, want)
+
+
+@pytest.mark.slow
+def test_tiny_cnn_encrypted_with_rtt_validation():
+    """-VEC:rtt analog: lockstep shadow validation through the whole
+    encrypted graph (raises on divergence)."""
+    g = tiny_cnn()
+    cfg = SchemeConfig(security_level=0, hamming_weight=32,
+                       relu_value_range=2.0, relu_mul_depth=13)
+    model = M.compile_model(g, cfg, num_classes=2, check_every=True)
+    x = RNG.uniform(-1, 1, (1, 4, 4))
+    got = M.infer_encrypted(model, x)
+    assert np.max(np.abs(got - ref_forward(g, x))) < 5e-2
