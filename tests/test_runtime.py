@@ -99,3 +99,24 @@ def test_validating_backend_catches_divergence(ctx):
     bad = Shadow(s3.ct, s3.msg + 1.0)
     with pytest.raises(ValidationError):
         be.check(bad, "corrupted")
+
+
+def test_pt_manager_preencoded_plaintext(tmp_path, ctx):
+    """-P2C:cte analog: a pre-encoded RNS plaintext entry loads as a
+    ready Plaintext and multiplies correctly."""
+    import numpy as np
+    enc, ev = ctx.encoder, ctx.evaluator
+    msg = RNG.uniform(-1, 1, 8)
+    pt = enc.encode(msg.astype(np.complex128), level=3)
+    w = rt_data.RtDataWriter()
+    w.append_pt("w_enc", np.asarray(pt.poly.data), scale=pt.scaling_factor,
+                sf_degree=pt.sf_degree, level=3, msg_len=8)
+    path = str(tmp_path / "enc.msg")
+    w.write(path)
+    mgr = ctx.open_weight_file(path)
+    loaded = mgr.get("w_enc", level=3)
+    assert loaded.level == 3
+    x = RNG.uniform(-1, 1, 8)
+    ct = ev.encrypt(enc.encode(x.astype(np.complex128), level=3))
+    got = enc.decode(ev.decrypt(ev.mul_plain(ct, loaded))).real
+    assert np.allclose(got, x * msg, atol=1e-2)
