@@ -465,8 +465,9 @@ class BootstrapContext:
         out = ChebyEvaluator(ev).eval_chebyshev(ct, self.sine_coeffs,
                                                 -1.0, 1.0)
         for j in range(1, self.double_angle + 1):
+            sq = ev.mul(out, out)
             out = ev.add_const(
-                ev.rescale(ev.add(ev.mul(out, out), ev.mul(out, out))),
+                ev.rescale(ev.add(sq, sq)),
                 -1.0 / (2.0 * np.pi) ** (2.0 ** (j - self.double_angle)))
         return out
 

@@ -116,9 +116,11 @@ class Evaluator:
         the same value encode() produces for a broadcast scalar (the
         scale-then-power structure of Encode_impl's sf_degree>1 path),
         without the embedding round-trip: the canonical embedding of a
-        constant vector is the constant polynomial."""
+        constant vector is the constant polynomial. Applies the same
+        +0.5 pre-bias as encode() (ckks_encoder.c:248) so both paths
+        produce the identical integer."""
         delta = self.params.scaling_factor
-        m = val * delta
+        m = val * delta + 0.5
         m = int(np.floor(m + 0.5)) if m >= 0 else -int(np.floor(-m + 0.5))
         return m * int(delta) ** (sf_degree - 1)
 
@@ -609,6 +611,25 @@ class Evaluator:
         summed — the remote AOT compiler cannot digest a 9-rotation
         keyswitch bundle at deep L in reasonable time."""
         import os
+        if not plain_groups or all(all(p is None for p in grp)
+                                   for grp in plain_groups):
+            raise ValueError(
+                "rot_ext_mac_groups_jit: plain_groups must contain at "
+                "least one non-None plaintext")
+        dead = [g for g, grp in enumerate(plain_groups)
+                if all(p is None for p in grp)]
+        if dead:
+            # run the live groups, fill dead ones with matching zeros
+            live = [g for g in range(len(plain_groups)) if g not in dead]
+            parts = self.rot_ext_mac_groups_jit(
+                ct, rots, [plain_groups[g] for g in live])
+            total = [None] * len(plain_groups)
+            for g, part in zip(live, parts):
+                total[g] = part
+            zero = self.sub(parts[0], parts[0])
+            for g in dead:
+                total[g] = zero
+            return total
         max_bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE", "5"))
         if len(rots) > max_bundle:
             total = [None] * len(plain_groups)

@@ -174,11 +174,17 @@ class KeyGenerator:
         return [self.relin_key] + list(self._rot_keys.values())
 
     def conj_key(self) -> tuple[int, SwitchKey]:
-        """Conjugation key (auto index 2N-1)."""
+        """Conjugation key (auto index 2N-1), held in the same LRU as
+        rotation keys (touch on use, honor max_rot_keys)."""
         n = self.params.degree
         auto_idx = 2 * n - 1
-        if auto_idx not in self._rot_keys:
+        key = self._rot_keys.pop(auto_idx, None)
+        if key is None:
+            # 2N-1 is self-inverse mod 2N, so gen_idx == auto_idx
             rotated = P.automorphism(self.sk.ntt_sk, auto_idx, self.crt)
-            self._rot_keys[auto_idx] = self._gen_switching_key(
-                self.sk.ntt_sk, rotated)
-        return auto_idx, self._rot_keys[auto_idx]
+            key = self._gen_switching_key(self.sk.ntt_sk, rotated)
+            if self.max_rot_keys and len(self._rot_keys) >= self.max_rot_keys:
+                evict = next(iter(self._rot_keys))
+                del self._rot_keys[evict]
+        self._rot_keys[auto_idx] = key
+        return auto_idx, key

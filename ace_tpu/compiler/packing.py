@@ -27,6 +27,12 @@ import math
 import numpy as np
 
 
+class SlotOverflow(Exception):
+    """The packed message does not fit in the ring's slot count; the
+    parameter policy catches this to grow poly_degree (the explicit
+    analog of onnx2air's slot-requirement contract, air_stmt.h:25-36)."""
+
+
 # ---------------------------------------------------------------------------
 # Backends
 # ---------------------------------------------------------------------------
@@ -320,7 +326,8 @@ def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
     c_in = weight.shape[1]
     hw = h * w
     if c_out * hw > be.n_slots:
-        assert stride > 1, "full-res output exceeds ring"
+        if stride <= 1:
+            raise SlotOverflow("full-res output exceeds ring")
         chunk = max(1, be.n_slots // hw)
         ohw = (h // stride) * (w // stride)
         items = []
@@ -351,7 +358,8 @@ def _conv2d_taps(be, x, weight: np.ndarray, h: int, w: int):
     c_out, c_in, kh, kw = weight.shape
     hw = h * w
     copies = math.ceil((c_out + c_in) / c_in)
-    assert c_in * hw * max(copies, 2) <= be.n_slots, "slot overflow"
+    if c_in * hw * max(copies, 2) > be.n_slots:
+        raise SlotOverflow("conv_taps input dup exceeds slots")
     xd = dup_input(be, x, c_in * hw, max(copies, 2))
     rots, W = conv_tap_weights(weight, h, w)
     return hoisted_mac_groups(be, xd, rots, [list(W)])[0]
@@ -382,7 +390,8 @@ def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
     hw = h * w
     L = c_out * hw
     dup_num = c_out // c_in
-    assert L <= be.n_slots, "slot overflow"
+    if L > be.n_slots:
+        raise SlotOverflow("conv_fast output exceeds slots")
     xd = dup_input(be, x, c_in * hw, dup_num) if dup_num > 1 else x
 
     ra = conv_ra_offsets(kh, kw, w)
@@ -411,7 +420,8 @@ def _conv2d_fast(be, x, weight: np.ndarray, h: int, w: int):
         if 2 * L <= be.n_slots:
             r_dup = be.add(r_ci, be.rotate(r_ci, -L))
         else:
-            assert L == be.n_slots, "slot overflow in conv_fast dup"
+            if L != be.n_slots:
+                raise SlotOverflow("conv_fast dup exceeds slots")
             r_dup = r_ci  # full ring: rotation wraps naturally
         items.append((r_dup, ci * hw))
     acc = rot_sum(be, items)

@@ -219,19 +219,29 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
     # minimum degree to pack the longest message (msg_len <= N/2)
     poly_degree = 2 << math.ceil(math.log2(max(msg_len, 2)))
 
+    from ace_tpu.compiler.packing import SlotOverflow
+
+    def sim_levels(degree):
+        return level_sim.required_levels(
+            graph, degree // 2, relu_ranges=cfg.relu_ranges,
+            relu_range_default=cfg.relu_value_range,
+            relu_mul_depth=cfg.relu_mul_depth,
+            use_bootstrap=cfg.use_bootstrap)
+
     while True:
         try:
-            segment = level_sim.required_levels(
-                graph, poly_degree // 2, relu_ranges=cfg.relu_ranges,
-                relu_range_default=cfg.relu_value_range,
-                relu_mul_depth=cfg.relu_mul_depth,
-                use_bootstrap=cfg.use_bootstrap)
+            segment = sim_levels(poly_degree)
             break
-        except AssertionError:
+        except SlotOverflow:
             poly_degree *= 2  # packing needed more slot headroom
-    mul_level = segment
-    if cfg.use_bootstrap:
-        mul_level += level_sim.bootstrap_depth(cfg.hamming_weight)
+
+    def total_level(seg):
+        lv = seg
+        if cfg.use_bootstrap:
+            lv += level_sim.bootstrap_depth(cfg.hamming_weight)
+        return lv
+
+    mul_level = total_level(segment)
 
     if cfg.security_level:
         prev = 0
@@ -244,9 +254,13 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
                 scale = cfg.scaling_mod_size
             q_parts = q_part_num_policy(mul_level)
             bits = modulus_bit_num(mul_level, first, scale, q_parts)
-            poly_degree = max(poly_degree,
-                              min_poly_degree_for_bits(
-                                  bits, cfg.security_level))
+            grown = max(poly_degree,
+                        min_poly_degree_for_bits(bits, cfg.security_level))
+            if grown != poly_degree:
+                # re-simulate at the larger slot count: the packed
+                # program's level consumption may differ per degree
+                poly_degree = grown
+                mul_level = total_level(sim_levels(poly_degree))
 
     first, scale = prime_info_policy(mul_level, poly_degree)
     if cfg.first_mod_size:

@@ -155,6 +155,12 @@ class PtManager:
             from ace_tpu.poly.poly import RnsPoly
             import jax.numpy as jnp
             lv = ent["level"]
+            if lv != level or ent["sf_degree"] != sf_degree:
+                raise ValueError(
+                    f"pre-encoded plaintext {name!r} stored at "
+                    f"(level={lv}, sf_degree={ent['sf_degree']}) but "
+                    f"requested (level={level}, sf_degree={sf_degree}); "
+                    f"re-run compile-time encoding at the right level")
             data = jnp.asarray(arr.reshape(lv, -1))
             pt = Plaintext(RnsPoly(data, lv, 0, True), ent["scale"],
                            ent["sf_degree"], ent["len"])
