@@ -666,14 +666,12 @@ class Evaluator:
             keys_a.append(ka)
         pattern = tuple(tuple(p is not None for p in grp)
                         for grp in plain_groups)
-        cache_key = ("rmg", tuple(auto_idxs), pattern, level)
-        if cache_key not in self._jit_cache:
-            self._jit_cache[cache_key] = self._mk_rot_mac_groups(
-                tuple(auto_idxs), pattern, level)
+        fn = self._get_jit(("rmg", tuple(auto_idxs), pattern, level),
+                           self._mk_rot_mac_groups,
+                           tuple(auto_idxs), pattern, level)
         pls = [p.poly.data for grp in plain_groups for p in grp
                if p is not None]
-        raw = self._jit_cache[cache_key](ct.c0.data, ct.c1.data,
-                                         keys_b, keys_a, pls)
+        raw = fn(ct.c0.data, ct.c1.data, keys_b, keys_a, pls)
         outs = []
         for g, (d0, d1) in enumerate(raw):
             pl_scale = next((p.scaling_factor for p in plain_groups[g]

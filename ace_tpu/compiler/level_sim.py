@@ -186,11 +186,13 @@ class SimBackend:
         return max(self.segments)
 
 
-def required_levels(graph, n_slots: int, relu_ranges=None,
-                    relu_range_default: float = 3.0,
-                    relu_mul_depth: int = 13,
-                    use_bootstrap: bool = True) -> int:
-    """Exact max bootstrap-segment consumption of the packed program."""
+def segment_levels(graph, n_slots: int, relu_ranges=None,
+                   relu_range_default: float = 3.0,
+                   relu_mul_depth: int = 13,
+                   use_bootstrap: bool = True) -> list:
+    """Exact per-bootstrap-segment level consumption of the packed
+    program: segments[0] is input->first bootstrap (which bounds the
+    minimal encryption level), the max bounds the q-chain."""
     from ace_tpu.compiler.lowering import GraphRunner
     be = SimBackend(n_slots)
     runner = GraphRunner(graph, be, relu_ranges=relu_ranges,
@@ -198,4 +200,16 @@ def required_levels(graph, n_slots: int, relu_ranges=None,
                          relu_mul_depth=relu_mul_depth,
                          bootstrap_before_relu=use_bootstrap)
     out = runner.run(be.pack(None))
-    return be.finish(out)
+    be.finish(out)
+    return list(be.segments)
+
+
+def required_levels(graph, n_slots: int, relu_ranges=None,
+                    relu_range_default: float = 3.0,
+                    relu_mul_depth: int = 13,
+                    use_bootstrap: bool = True) -> int:
+    """Exact max bootstrap-segment consumption of the packed program."""
+    return max(segment_levels(
+        graph, n_slots, relu_ranges=relu_ranges,
+        relu_range_default=relu_range_default,
+        relu_mul_depth=relu_mul_depth, use_bootstrap=use_bootstrap))

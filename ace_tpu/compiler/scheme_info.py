@@ -92,6 +92,7 @@ class SchemeInfo:
     max_msg_len: int
     bootstrap_depth: int
     rotate_indices: tuple = ()
+    input_level: int = 0             # minimal encryption level (0 = top)
 
 
 def _msg_len(shape) -> int:
@@ -222,7 +223,7 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
     from ace_tpu.compiler.packing import SlotOverflow
 
     def sim_levels(degree):
-        return level_sim.required_levels(
+        return level_sim.segment_levels(
             graph, degree // 2, relu_ranges=cfg.relu_ranges,
             relu_range_default=cfg.relu_value_range,
             relu_mul_depth=cfg.relu_mul_depth,
@@ -230,10 +231,11 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
 
     while True:
         try:
-            segment = sim_levels(poly_degree)
+            segments = sim_levels(poly_degree)
             break
         except SlotOverflow:
             poly_degree *= 2  # packing needed more slot headroom
+    segment = max(segments)
 
     def total_level(seg):
         lv = seg
@@ -260,7 +262,8 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
                 # re-simulate at the larger slot count: the packed
                 # program's level consumption may differ per degree
                 poly_degree = grown
-                mul_level = total_level(sim_levels(poly_degree))
+                segments = sim_levels(poly_degree)
+                mul_level = total_level(max(segments))
 
     first, scale = prime_info_policy(mul_level, poly_degree)
     if cfg.first_mod_size:
@@ -280,4 +283,10 @@ def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
         max_msg_len=msg_len,
         bootstrap_depth=(bootstrap_mul_depth(cfg.hamming_weight)
                          if cfg.use_bootstrap else 0),
+        # the first bootstrap drops to the last tower regardless of the
+        # input level, so encrypting at segment0-consumption + 1 levels
+        # is exact: every pre-bootstrap op compiles and executes at a
+        # fraction of the full chain (ctx_param_ana's input-level analog)
+        input_level=(segments[0] + 1 if cfg.use_bootstrap
+                     else mul_level + 1),
     )

@@ -120,7 +120,8 @@ def infer_encrypted(model: CompiledModel, image: np.ndarray) -> np.ndarray:
     """One encrypted inference; returns the logits (decrypted)."""
     from ace_tpu.runtime.validate import ValidatingBackend, Shadow
     ctx = model.ctx
-    ct = ctx.prepare_input(image, "input")
+    ct = ctx.prepare_input(image, "input",
+                           level=model.scheme.input_level)
     x = ctx.get_input_data("input")
     be = model.runner.be
     if isinstance(be, ValidatingBackend):

@@ -75,15 +75,19 @@ class FheContext:
 
     # -- client side (io_api): encode/encrypt/decrypt --------------------
 
-    def prepare_input(self, tensor: np.ndarray, name: str):
+    def prepare_input(self, tensor: np.ndarray, name: str,
+                      level: int = 0):
         """Encode+encrypt an input tensor and post it to the server-side
-        input queue (Prepare_input + Io_set_input)."""
+        input queue (Prepare_input + Io_set_input). `level` 0 encrypts
+        at the top of the chain; a graph whose first bootstrap comes
+        after `s` rescales only needs level s+1 (scheme_info.input_level),
+        which shrinks every pre-bootstrap program by ~num_q/level."""
         with TIMING.tm("RTM_ENCODE_ARRAY"):
             flat = np.asarray(tensor, dtype=np.float64).reshape(-1)
             slots = self.params.degree // 2
             msg = np.zeros(slots, dtype=np.complex128)
             msg[:flat.size] = flat
-            pt = self.encoder.encode(msg)
+            pt = self.encoder.encode(msg, level=level)
         ct = self.evaluator.encrypt(pt)
         self._io_inputs[name] = ct
         return ct
