@@ -682,10 +682,14 @@ class Evaluator:
         return outs
 
     def conjugate(self, a: Ciphertext) -> Ciphertext:
+        """Conjugation = keyswitch + automorphism 2N-1: reuses the
+        rotate jit bundle (one XLA program, not eager dispatch)."""
         auto_idx, key = self.keygen.conj_key()
-        crt = self.crt
-        s0, s1 = self._switch_key(key, a.c1)
-        t0 = P.add(s0, a.c0, crt)
-        return Ciphertext(P.automorphism(t0, auto_idx, crt),
-                          P.automorphism(s1, auto_idx, crt),
+        level = a.level
+        fn = self._get_jit(("rot", auto_idx, level), self._mk_rotate,
+                           auto_idx, level)
+        kb, ka = self._key_raw(key, level)
+        d0, d1 = fn(a.c0.data, a.c1.data, kb, ka)
+        return Ciphertext(RnsPoly(d0, level, 0, True),
+                          RnsPoly(d1, level, 0, True),
                           a.scaling_factor, a.sf_degree, a.slots)
