@@ -8,9 +8,9 @@ per digit: b = -a*old_key + P*Q~_part*new_key + e over the Q ∪ P basis
 the inverse automorphism of the NTT secret and swap old/new for
 rotate-after-keyswitch, :238-268).
 
-Randomness: numpy Generator (not the reference's time-seeded BLAKE2 —
-neither is reproducible across runs; correctness tests go through
-decrypt(op(encrypt(x))) like the reference's own unittests).
+Randomness: BLAKE2b counter-mode CSPRNG by default (the reference's
+prng.c:13-40 posture; utils/csprng.py), deterministic when seeded;
+tests may pass a seeded numpy Generator instead.
 """
 
 from __future__ import annotations
@@ -67,7 +67,15 @@ class KeyGenerator:
         regeneration is semantically free)."""
         self.params = params
         self.crt = params.crt
-        self.rng = rng or np.random.default_rng()
+        if rng is None:
+            # default to the CSPRNG (prng.c:13-40); ACE_TPU_CSPRNG=0
+            # falls back to numpy PCG64 for speed in throwaway contexts
+            import os
+            from ace_tpu.utils.csprng import Blake2Csprng
+            rng = (np.random.default_rng()
+                   if os.environ.get("ACE_TPU_CSPRNG") == "0"
+                   else Blake2Csprng())
+        self.rng = rng
         self.max_rot_keys = max_rot_keys
         self.sk = self._gen_secret_key()
         self.pk = self._gen_public_key()

@@ -39,7 +39,8 @@ class FheContext:
         self.params = params
         with TIMING.tm("RTM_PREPARE_CONTEXT"):
             self.encoder = Encoder(params)
-            self.keygen = KeyGenerator(params, np.random.default_rng(seed),
+            from ace_tpu.utils.csprng import Blake2Csprng
+            self.keygen = KeyGenerator(params, Blake2Csprng(seed),
                                        max_rot_keys=max_rot_keys)
             self.evaluator = Evaluator(params, self.keygen, self.encoder)
             self._bts = {}
