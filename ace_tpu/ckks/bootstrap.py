@@ -418,7 +418,7 @@ class BootstrapContext:
                 if not np.any(diag):
                     continue
                 live.append(off)
-                pls.append(ev.encoder.encode(diag, level=ct.level,
+                pls.append(ev.encoder.encode_cached(diag, level=ct.level,
                                              slots=len(diag),
                                              extended=True))
             return ev.rot_ext_mac_groups_jit(ct, live, [pls])[0]
@@ -442,7 +442,7 @@ class BootstrapContext:
                 any_live = True
             if any_live:
                 groups.append([
-                    None if r is None else ev.encoder.encode(
+                    None if r is None else ev.encoder.encode_cached(
                         r, level=ct.level, slots=slots, extended=True)
                     for r in rows])
                 giants.append(reduce_rotation(giant, slots_value))

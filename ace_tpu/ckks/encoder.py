@@ -98,6 +98,17 @@ class Encoder:
         ang = 2 * np.pi * np.arange(self.fft_length) / self.fft_length
         self.rou = np.cos(ang) + 1j * np.sin(ang)
         self._value_cache: dict = {}
+        # content-hash LRU over encoded weight plaintexts: static
+        # weights / bootstrap diagonals are encoded once per (content,
+        # level, sf_degree, extended) and reused across inferences
+        # (budget in MB via ACE_TPU_PT_CACHE_MB; 0 disables)
+        import collections
+        import os
+        self._pt_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self._pt_cache_bytes = 0
+        self._pt_cache_budget = int(os.environ.get(
+            "ACE_TPU_PT_CACHE_MB", "4096")) << 20
 
     # -- special FFT (ntt.c:678-753) ------------------------------------
 
@@ -179,6 +190,33 @@ class Encoder:
                 p, [pow(idelta, sf_degree - 1, q) for q in primes], crt)
         p = P.to_ntt(p, crt)
         return Plaintext(p, delta ** sf_degree, sf_degree, slots)
+
+    def encode_cached(self, values, level: int = 0, slots: int = 0,
+                      sf_degree: int = 1,
+                      extended: bool = False) -> Plaintext:
+        """encode() with a content-addressed LRU cache — the runtime
+        analog of the reference's compile-time encoding (encode/ cte):
+        hot weight vectors and bootstrap diagonals encode once and stay
+        device-resident."""
+        if self._pt_cache_budget <= 0:
+            return self.encode(values, level, slots, sf_degree, extended)
+        import hashlib
+        values = np.asarray(values, dtype=np.complex128)
+        key = (hashlib.blake2b(values.tobytes(), digest_size=16)
+               .hexdigest(), level, slots, sf_degree, extended)
+        hit = self._pt_cache.pop(key, None)
+        if hit is not None:
+            self._pt_cache[key] = hit
+            return hit
+        pt = self.encode(values, level, slots, sf_degree, extended)
+        nb = int(pt.poly.data.size) * 8
+        self._pt_cache[key] = pt
+        self._pt_cache_bytes += nb
+        while (self._pt_cache_bytes > self._pt_cache_budget
+               and len(self._pt_cache) > 1):
+            _, old_pt = self._pt_cache.popitem(last=False)
+            self._pt_cache_bytes -= int(old_pt.poly.data.size) * 8
+        return pt
 
     def encode_value(self, value: float, level: int,
                      sf_degree: int = 1) -> Plaintext:

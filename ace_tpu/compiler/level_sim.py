@@ -158,6 +158,8 @@ class SimBackend:
             a, b = self._norm(a), self._norm(b)
         return self.ev.add(a, b)
 
+    sub = add
+
     def add_plain(self, ct, w):
         return ct
 

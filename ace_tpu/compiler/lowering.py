@@ -50,10 +50,32 @@ class GraphRunner:
                 out = pk.conv2d(be, xin, w, b, h, wd, stride)
             elif op.op_type == "Relu":
                 out = self._relu(xin, op)
-            elif op.op_type == "Add":
-                out = be.add(xin, env[op.inputs[1]])
-            elif op.op_type == "Mul":
-                out = be.mul(xin, env[op.inputs[1]])
+            elif op.op_type in ("Add", "Sub", "Mul"):
+                rhs = op.inputs[1]
+                if rhs in env:
+                    fn = {"Add": be.add, "Sub": be.sub,
+                          "Mul": be.mul}[op.op_type]
+                    out = fn(xin, env[rhs])
+                else:
+                    # constant operand (broadcast to the op's shape)
+                    w = np.broadcast_to(
+                        np.asarray(self.g.weights[rhs], np.float64),
+                        op.in_shape).reshape(-1)
+                    if op.op_type == "Add":
+                        out = be.add_plain(xin, w)
+                    elif op.op_type == "Sub":
+                        out = be.add_plain(xin, -w)
+                    else:
+                        out = be.mul_plain(xin, w)
+            elif op.op_type == "Slice":
+                # contiguous flat slice (StridedSlice analog): rotate
+                # the region to slot 0, mask the tail junk
+                start = op.attrs["_flat_start"]
+                ln = op.attrs["_flat_len"]
+                out = xin if start == 0 else be.rotate(xin, start)
+                mask = np.zeros(be.n_slots)
+                mask[:ln] = 1.0
+                out = be.mul_plain(out, mask)
             elif op.op_type == "GlobalAveragePool":
                 _, c, h, wd = op.in_shape
                 out = pk.global_average_pool(be, xin, c, h, wd)
@@ -71,6 +93,9 @@ class GraphRunner:
                     w = w.T
                 b = (np.asarray(self.g.weights[op.inputs[2]], np.float64)
                      if len(op.inputs) > 2 else np.zeros(w.shape[0]))
+                # fold alpha/beta (Gemm: Y = alpha*A@B + beta*C)
+                w = w * float(op.attrs.get("alpha", 1.0))
+                b = b * float(op.attrs.get("beta", 1.0))
                 out_dim, in_dim = w.shape
                 rows = 1
                 while rows < out_dim:

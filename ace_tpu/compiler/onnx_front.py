@@ -78,6 +78,62 @@ def _attr_value(a):
     return None
 
 
+def _slice_params(op, in_shape, weights):
+    """Static Slice (the StridedSlice analog, nn-addon opcode_def.inc):
+    starts/ends/axes come from attributes (opset<10) or initializer
+    inputs (opset>=10). Only step 1 and a flat-contiguous result are
+    supported: the sliced axis must have all earlier axes of size 1 so
+    the region is one contiguous run of slots."""
+    if "starts" in op.attrs:
+        starts = list(op.attrs["starts"])
+        ends = list(op.attrs["ends"])
+        axes = list(op.attrs.get("axes", range(len(starts))))
+        steps = [1] * len(starts)
+    else:
+        def const(i, default=None):
+            if i < len(op.inputs) and op.inputs[i] in weights:
+                return [int(v) for v in np.atleast_1d(weights[op.inputs[i]])]
+            return default
+        starts = const(1)
+        ends = const(2)
+        axes = const(3, list(range(len(starts or []))))
+        steps = const(4, [1] * len(starts or []))
+        if starts is None or ends is None:
+            raise NotImplementedError(
+                f"Slice {op.name}: dynamic starts/ends unsupported")
+    if any(st != 1 for st in steps):
+        raise NotImplementedError(f"Slice {op.name}: steps != 1")
+    out = list(in_shape)
+    flat_start, flat_len = 0, None
+    for ax, st, en in zip(axes, starts, ends):
+        ax = ax % len(in_shape)
+        dim = in_shape[ax]
+        st = max(0, st + dim if st < 0 else min(st, dim))
+        en = max(0, en + dim if en < 0 else min(en, dim))
+        if en <= st:
+            raise NotImplementedError(f"Slice {op.name}: empty slice")
+        if st != 0 or en != dim:
+            if any(d != 1 for d in in_shape[:ax]):
+                raise NotImplementedError(
+                    f"Slice {op.name}: non-contiguous slice on axis "
+                    f"{ax} of {in_shape}")
+            inner = int(np.prod(in_shape[ax + 1:])) if ax + 1 < len(
+                in_shape) else 1
+            flat_start += st * inner
+            flat_len = (en - st) * inner
+        out[ax] = en - st
+    if flat_len is None:
+        flat_len = int(np.prod(out))
+    return tuple(out), flat_start, flat_len
+
+
+def _slice_out_shape(op, in_shape, weights):
+    out, start, length = _slice_params(op, in_shape, weights)
+    op.attrs["_flat_start"] = start
+    op.attrs["_flat_len"] = length
+    return out
+
+
 def load_onnx(path: str) -> NNGraph:
     model = onnx_pb2.ModelProto()
     with open(path, "rb") as f:
@@ -113,16 +169,56 @@ def load_onnx(path: str) -> NNGraph:
         if op.op_type == "Conv":
             w = weights[op.inputs[1]]
             strides = op.attrs.get("strides", [1, 1])
+            kh, kw = int(w.shape[2]), int(w.shape[3])
+            pads = [int(v) for v in op.attrs.get("pads",
+                                                 [0, 0, 0, 0])]
+            dil = op.attrs.get("dilations", [1, 1])
+            grp = int(op.attrs.get("group", 1))
+            # the packing metakernels compute SAME-padded convs
+            # (rotation taps wrap within the channel block); reject
+            # anything else loudly instead of producing wrong numbers
+            if list(dil) != [1, 1]:
+                raise NotImplementedError(
+                    f"Conv {op.name}: dilations {dil} unsupported")
+            if grp != 1:
+                raise NotImplementedError(
+                    f"Conv {op.name}: group={grp} unsupported")
+            if (pads[0] + pads[2] != kh - 1
+                    or pads[1] + pads[3] != kw - 1):
+                raise NotImplementedError(
+                    f"Conv {op.name}: pads {pads} are not SAME padding "
+                    f"for kernel {kh}x{kw}; only SAME convs lower to "
+                    f"the rotation-tap metakernel")
+            if s[2] % strides[0] or s[3] % strides[1]:
+                raise NotImplementedError(
+                    f"Conv {op.name}: input {s[2]}x{s[3]} not divisible "
+                    f"by stride {strides}")
             oh = s[2] // strides[0]
             ow = s[3] // strides[1]
             op.out_shape = (s[0], w.shape[0], oh, ow)
-        elif op.op_type in ("Relu", "Add", "Mul"):
+        elif op.op_type in ("Relu", "Add", "Mul", "Sub"):
             op.out_shape = s
         elif op.op_type == "GlobalAveragePool":
             op.out_shape = (s[0], s[1], 1, 1)
         elif op.op_type in ("AveragePool", "MaxPool"):
-            k = op.attrs["kernel_shape"][0]
-            op.out_shape = (s[0], s[1], s[2] // k, s[3] // k)
+            k = [int(v) for v in op.attrs["kernel_shape"]]
+            strides = [int(v)
+                       for v in op.attrs.get("strides", k)]
+            pads = [int(v) for v in op.attrs.get("pads",
+                                                 [0, 0, 0, 0])]
+            if strides != k:
+                raise NotImplementedError(
+                    f"{op.op_type} {op.name}: strides {strides} != "
+                    f"kernel {k}; only non-overlapping pooling lowers")
+            if any(pads) or op.attrs.get("ceil_mode", 0):
+                raise NotImplementedError(
+                    f"{op.op_type} {op.name}: pads/ceil_mode "
+                    f"unsupported")
+            if s[2] % k[0] or s[3] % k[1]:
+                raise NotImplementedError(
+                    f"{op.op_type} {op.name}: input {s[2]}x{s[3]} not "
+                    f"divisible by kernel {k}")
+            op.out_shape = (s[0], s[1], s[2] // k[0], s[3] // k[1])
         elif op.op_type in ("Reshape", "Flatten"):
             op.out_shape = (1, int(np.prod([d for d in s if d])),)
         elif op.op_type == "Gemm":
@@ -130,6 +226,8 @@ def load_onnx(path: str) -> NNGraph:
             out_dim = w.shape[1] if op.attrs.get("transB", 0) == 0 \
                 else w.shape[0]
             op.out_shape = (1, out_dim)
+        elif op.op_type == "Slice":
+            op.out_shape = _slice_out_shape(op, s, weights)
         else:
             raise NotImplementedError(f"op {op.op_type}")
         shapes[op.outputs[0]] = op.out_shape

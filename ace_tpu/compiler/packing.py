@@ -54,6 +54,9 @@ class PlainBackend:
     def add(self, a, b):
         return a + b
 
+    def sub(self, a, b):
+        return a - b
+
     def mul_plain(self, v, w: np.ndarray):
         return v * self.pack(w)
 
@@ -104,17 +107,23 @@ class FheBackend:
             a, b = self._norm(a), self._norm(b)
         return self.ev.add(a, b)
 
+    def sub(self, a, b):
+        if a.sf_degree != b.sf_degree:
+            a, b = self._norm(a), self._norm(b)
+        return self.ev.sub(a, b)
+
     def _encode_like(self, ct, w: np.ndarray):
         vec = np.zeros(self.n_slots, dtype=np.complex128)
         vec[:len(w)] = w
-        return self.enc.encode(vec, level=ct.level, slots=self.n_slots)
+        return self.enc.encode_cached(vec, level=ct.level,
+                                      slots=self.n_slots)
 
     def mul_plain(self, ct, w: np.ndarray):
         ct = self._norm(ct)
         return self.ev.mul_plain(ct, self._encode_like(ct, w))
 
     def add_plain(self, ct, w: np.ndarray):
-        pl = self.enc.encode(
+        pl = self.enc.encode_cached(
             np.concatenate([w, np.zeros(self.n_slots - len(w))]),
             level=ct.level, slots=self.n_slots, sf_degree=ct.sf_degree)
         return self.ev.add_plain(ct, pl)
@@ -168,7 +177,7 @@ class FheBackend:
                 if w is None or not np.any(w):
                     grp.append(None)
                 else:
-                    grp.append(self.enc.encode(
+                    grp.append(self.enc.encode_cached(
                         self._pad(w), level=ct.level, slots=self.n_slots,
                         extended=True))
             plain_groups.append(grp)

@@ -77,6 +77,9 @@ class ValidatingBackend:
     def add(self, a: Shadow, b: Shadow) -> Shadow:
         return self._wrap("add", self.fhe.add(a.ct, b.ct), a.msg + b.msg)
 
+    def sub(self, a: Shadow, b: Shadow) -> Shadow:
+        return self._wrap("sub", self.fhe.sub(a.ct, b.ct), a.msg - b.msg)
+
     def mul(self, a: Shadow, b: Shadow) -> Shadow:
         return self._wrap("mul", self.fhe.mul(a.ct, b.ct), a.msg * b.msg)
 
