@@ -92,8 +92,10 @@ def render() -> str:
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         data = _load(path)
         if data:
-            rnd = os.path.basename(path)[7:-5]
-            bench.append((rnd, data))
+            data = data.get("parsed") or data   # driver wraps the line
+            if data and data.get("metric"):
+                rnd = os.path.basename(path)[7:-5]
+                bench.append((rnd, data))
     if bench:
         lines += ["## Benchmark history (driver-run, real TPU)", "",
                   "| round | metric | value | unit | vs baseline |",
