@@ -98,6 +98,7 @@ class Encoder:
         ang = 2 * np.pi * np.arange(self.fft_length) / self.fft_length
         self.rou = np.cos(ang) + 1j * np.sin(ang)
         self._value_cache: dict = {}
+        self.mesh = None   # set by FheContext(mesh=...): limb-sharded pts
         # content-hash LRU over encoded weight plaintexts: static
         # weights / bootstrap diagonals are encoded once per (content,
         # level, sf_degree, extended) and reused across inferences
@@ -182,7 +183,8 @@ class Encoder:
         message = _llround_interleave(to_scale, delta, n, slots, gap)
         primes = crt.q_primes[:level] + (crt.p_primes if extended else [])
         data = _signed_to_rns(message, primes)
-        p = RnsPoly(jnp.asarray(data), level,
+        from ace_tpu.parallel.mesh import put_limb
+        p = RnsPoly(put_limb(data, self.mesh), level,
                     crt.num_p if extended else 0, False)
         if sf_degree > 1:
             idelta = int(delta)

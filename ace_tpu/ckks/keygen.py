@@ -58,7 +58,7 @@ def _signed_to_rns(samples: np.ndarray, primes: list[int]) -> np.ndarray:
 
 class KeyGenerator:
     def __init__(self, params: CkksParams, rng: np.random.Generator = None,
-                 max_rot_keys: int = 0):
+                 max_rot_keys: int = 0, mesh=None):
         """max_rot_keys: LRU capacity for rotation keys (0 = unbounded).
         A full ResNet needs ~227 rotation keys (ace_pre.log:28) at
         ~170 MB each at N=2^16 — beyond one chip's HBM. Evicted keys
@@ -77,6 +77,7 @@ class KeyGenerator:
                    else Blake2Csprng())
         self.rng = rng
         self.max_rot_keys = max_rot_keys
+        self.mesh = mesh  # limb-sharded key residency when set
         self.sk = self._gen_secret_key()
         self.pk = self._gen_public_key()
         self.relin_key = self._gen_relin_key()
@@ -105,13 +106,15 @@ class KeyGenerator:
                 for q in crt.q_primes + crt.p_primes]
         # fresh uniform values interpreted directly as NTT form
         # (ckks_key_generator.c:159 "skip ntt convert")
-        return RnsPoly(jnp.asarray(np.stack(rows)), crt.num_q, crt.num_p,
-                       True)
+        from ace_tpu.parallel.mesh import put_limb
+        return RnsPoly(put_limb(np.stack(rows), self.mesh),
+                       crt.num_q, crt.num_p, True)
 
     def _small_qp_poly(self, samples: np.ndarray, ntt: bool = True) -> RnsPoly:
         crt = self.crt
+        from ace_tpu.parallel.mesh import put_limb
         data = _signed_to_rns(samples, crt.q_primes + crt.p_primes)
-        p = RnsPoly(jnp.asarray(data), crt.num_q, crt.num_p, False)
+        p = RnsPoly(put_limb(data, self.mesh), crt.num_q, crt.num_p, False)
         return P.to_ntt(p, crt) if ntt else p
 
     # -- keys ------------------------------------------------------------

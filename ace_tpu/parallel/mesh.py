@@ -42,3 +42,18 @@ def shard_poly(mesh: Mesh, poly_data, batched: bool = False):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_limb(data, mesh: Mesh | None):
+    """device_put a [L, N] (or [..., L, N]) array with the limb axis
+    sharded; no-op without a mesh. This is the single chokepoint that
+    turns the whole evaluator SPMD: keys/plaintexts/fresh ciphertexts
+    enter device memory limb-sharded, every jitted op bundle compiles
+    under GSPMD with per-limb NTTs local and base-conversion
+    contractions lowered to psum/all-gather over ICI (SURVEY.md 5.8).
+    """
+    if mesh is None:
+        return jax.numpy.asarray(data)
+    nd = getattr(data, "ndim", None) or np.asarray(data).ndim
+    spec = P(*([None] * (nd - 2) + ["limb", None]))
+    return jax.device_put(data, NamedSharding(mesh, spec))

@@ -23,7 +23,7 @@ class FheContext:
 
     def __init__(self, params: CkksParams = None, *, scheme_info=None,
                  seed: int = 0, bootstrap_slots: tuple = (),
-                 level_budget=(3, 3), max_rot_keys: int = 0):
+                 level_budget=(3, 3), max_rot_keys: int = 0, mesh=None):
         from ace_tpu.ckks.encoder import Encoder
         from ace_tpu.ckks.keygen import KeyGenerator
         from ace_tpu.ckks.evaluator import Evaluator
@@ -39,10 +39,12 @@ class FheContext:
         self.params = params
         with TIMING.tm("RTM_PREPARE_CONTEXT"):
             self.encoder = Encoder(params)
+            self.encoder.mesh = mesh
             from ace_tpu.utils.csprng import Blake2Csprng
             self.keygen = KeyGenerator(params, Blake2Csprng(seed),
-                                       max_rot_keys=max_rot_keys)
+                                       max_rot_keys=max_rot_keys, mesh=mesh)
             self.evaluator = Evaluator(params, self.keygen, self.encoder)
+            self.evaluator.mesh = mesh
             self._bts = {}
             for slots in bootstrap_slots:
                 self.bootstrap_precom(slots, level_budget)
