@@ -54,6 +54,16 @@ def put_limb(data, mesh: Mesh | None):
     """
     if mesh is None:
         return jax.numpy.asarray(data)
-    nd = getattr(data, "ndim", None) or np.asarray(data).ndim
-    spec = P(*([None] * (nd - 2) + ["limb", None]))
+    data = np.asarray(data) if not hasattr(data, "ndim") else data
+    nd = data.ndim
+    n_limb = mesh.shape["limb"]
+    if nd >= 2 and data.shape[-2] % n_limb == 0:
+        spec = P(*([None] * (nd - 2) + ["limb", None]))
+    elif data.shape[-1] % n_limb == 0:
+        # limb count not divisible (e.g. extended Q+P bases): shard the
+        # coefficient axis instead — N is a power of two, always even;
+        # GSPMD re-shards inside programs as profitable.
+        spec = P(*([None] * (nd - 1) + ["limb"]))
+    else:
+        spec = P()
     return jax.device_put(data, NamedSharding(mesh, spec))

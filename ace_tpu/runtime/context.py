@@ -73,7 +73,8 @@ class FheContext:
 
     def open_weight_file(self, path: str):
         from ace_tpu.runtime.rt_data import RtDataReader, PtManager
-        self.pt_mgr = PtManager(RtDataReader(path), self.encoder)
+        self.pt_mgr = PtManager(RtDataReader(path), self.encoder,
+                                path=path)
         return self.pt_mgr
 
     # -- client side (io_api): encode/encrypt/decrypt --------------------

@@ -128,19 +128,53 @@ class RtDataReader:
 
 class PtManager:
     """Plaintext weight manager: encode-on-demand with async prefetch
-    (pt_mgr.h Pt_get/Pt_prefetch)."""
+    (pt_mgr.h Pt_get/Pt_prefetch). Prefetch goes through the native
+    io_uring loader (runtime/block_io.py, block_io_linux.c:10-22 analog)
+    when available, falling back to mmap readahead hints."""
 
-    def __init__(self, reader: RtDataReader, encoder):
+    def __init__(self, reader: RtDataReader, encoder, path: str = ""):
         self.reader = reader
         self.encoder = encoder
         self._cache = {}
         self._lock = threading.Lock()
+        self._aio = None
+        self._pending: dict[str, int] = {}
+        if path and os.environ.get("ACE_TPU_ASYNC_IO", "1") not in (
+                "0", "off"):
+            try:
+                from ace_tpu.runtime.block_io import AsyncBlockLoader
+                self._aio = AsyncBlockLoader(path)
+            except Exception:
+                self._aio = None
 
     def prefetch(self, name: str):
         idx = self.reader.by_name.get(name)
-        if idx is not None:
-            threading.Thread(target=self.reader.prefetch, args=(idx,),
-                             daemon=True).start()
+        if idx is None:
+            return
+        if self._aio is not None:
+            with self._lock:
+                if name not in self._pending:
+                    ent = self.reader.entries[idx]
+                    self._pending[name] = self._aio.submit(
+                        ent["offset"], ent["nbytes"])
+            return
+        threading.Thread(target=self.reader.prefetch, args=(idx,),
+                         daemon=True).start()
+
+    def _read(self, name: str, idx: int):
+        """Entry + raw array, consuming a pending async read if one is
+        in flight for this name."""
+        tok = None
+        if self._aio is not None:
+            with self._lock:
+                tok = self._pending.pop(name, None)
+        if tok is None:
+            return self.reader.read(idx)
+        ent = self.reader.entries[idx]
+        raw = self._aio.wait(tok)
+        dt = {KIND_F32: np.float32, KIND_F64: np.float64}.get(
+            ent["kind"], np.uint64)
+        return ent, raw.view(dt)
 
     def get(self, name: str, level: int, sf_degree: int = 1):
         """Encoded plaintext for entry `name` at (level, sf_degree)."""
@@ -149,7 +183,7 @@ class PtManager:
             if key in self._cache:
                 return self._cache[key]
         idx = self.reader.by_name[name]
-        ent, arr = self.reader.read(idx)
+        ent, arr = self._read(name, idx)
         if ent["kind"] == KIND_PLAIN:
             from ace_tpu.ckks.encoder import Plaintext
             from ace_tpu.poly.poly import RnsPoly
