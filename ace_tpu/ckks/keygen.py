@@ -45,6 +45,20 @@ class SwitchKey:
     b: list
     a: list
 
+    @property
+    def nbytes(self) -> int:
+        """Actual device bytes held by this key (all digit pairs)."""
+        return sum(int(p.data.size) * p.data.dtype.itemsize
+                   for pair in (self.b, self.a) for p in pair)
+
+
+def switch_key_nbytes(params: CkksParams) -> int:
+    """Bytes of one hybrid switching key at these parameters, derived
+    from the key structure (num_q_parts digits x (b, a) x (Q ∪ P) limbs
+    x N u64) — the sizing input for the rotation-key LRU budget."""
+    num_qp = params.num_q + params.crt.num_p
+    return params.num_q_parts * 2 * num_qp * params.degree * 8
+
 
 def _signed_to_rns(samples: np.ndarray, primes: list[int]) -> np.ndarray:
     """Small signed ints -> canonical residue rows per prime."""

@@ -87,14 +87,11 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
     cfg = cfg or SchemeConfig()
     scheme = select_params(g, cfg)
     if ctx is None:
-        if max_rot_keys == 0:
-            # keep rotation keys within a single-chip HBM budget:
-            # ~10 GB of keys at this parameter set, LRU + regenerate
-            key_bytes = (scheme.q_part_num * 2
-                         * (scheme.mul_level + 1 + scheme.p_prime_num)
-                         * scheme.poly_degree * 8)
-            max_rot_keys = max(16, (10 << 30) // key_bytes)
-        ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys)
+        # keep rotation keys within a single-chip HBM budget (LRU +
+        # regenerate); per-key bytes derive from the key structure
+        ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys,
+                         rot_key_budget_bytes=0 if max_rot_keys
+                         else (10 << 30))
     be = pk.FheBackend(ctx.evaluator, ctx.encoder,
                        bootstrap_fn=ctx.bootstrap)
     if check_every:

@@ -23,7 +23,8 @@ class FheContext:
 
     def __init__(self, params: CkksParams = None, *, scheme_info=None,
                  seed: int = 0, bootstrap_slots: tuple = (),
-                 level_budget=(3, 3), max_rot_keys: int = 0, mesh=None):
+                 level_budget=(3, 3), max_rot_keys: int = 0,
+                 rot_key_budget_bytes: int = 0, mesh=None):
         from ace_tpu.ckks.encoder import Encoder
         from ace_tpu.ckks.keygen import KeyGenerator
         from ace_tpu.ckks.evaluator import Evaluator
@@ -37,6 +38,12 @@ class FheContext:
                 hamming_weight=si.hamming_weight,
                 num_q_parts=si.q_part_num)
         self.params = params
+        if rot_key_budget_bytes and not max_rot_keys:
+            # size the rotation-key LRU from the ACTUAL per-key bytes of
+            # the key structure (not a hand formula), context.c:100-107
+            from ace_tpu.ckks.keygen import switch_key_nbytes
+            max_rot_keys = max(
+                16, rot_key_budget_bytes // switch_key_nbytes(params))
         with TIMING.tm("RTM_PREPARE_CONTEXT"):
             self.encoder = Encoder(params)
             self.encoder.mesh = mesh

@@ -76,7 +76,28 @@ def bench_cpu_baseline(q: int) -> float:
     return 1.0 / dt
 
 
+RESNET20_BASELINE_S = 1453.96  # scripts/ace_pre.log:28 (Xeon, 1 thread)
+RESULT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "logs", "resnet20_result.json")
+
+
 def main():
+    # headline: encrypted ResNet-20 s/image on this chip, measured by
+    # run_resnet.py during the round (the full run needs a warm program
+    # cache; re-measure with `python run_resnet.py --model
+    # resnet20_cifar10`). vs_baseline = reference s/image / ours.
+    if os.path.exists(RESULT_JSON) and not os.environ.get("ACE_BENCH_NTT"):
+        rows = json.load(open(RESULT_JSON))
+        secs = sorted(r["seconds"] for r in rows)
+        s_img = secs[len(secs) // 2]  # median image
+        print(json.dumps({
+            "metric": "resnet20_cifar10_encrypted_s_per_image",
+            "value": round(s_img, 2),
+            "unit": "s/image",
+            "vs_baseline": round(RESNET20_BASELINE_S / s_img, 2),
+        }))
+        return
+
     cpu_ntt_per_s = None
     try:
         # measure CPU baseline first (independent of device availability)
