@@ -142,8 +142,8 @@ class Evaluator:
         def impl(c0, res):
             return modops.add_mod(c0, res, q)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def mul_plain(self, a: Ciphertext, plain: Plaintext) -> Ciphertext:
         level = a.level
@@ -164,8 +164,8 @@ class Evaluator:
             return (P.mul(RnsPoly(c0, level, num_p, True), p, crt).data,
                     P.mul(RnsPoly(c1, level, num_p, True), p, crt).data)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def mul_const(self, a: Ciphertext, val: float) -> Ciphertext:
         """Multiply by a broadcast scalar: per-limb Shoup scalar multiply
@@ -427,8 +427,8 @@ class Evaluator:
             return (P.automorphism(t0, auto_idx, crt).data,
                     P.automorphism(s1, auto_idx, crt).data)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def _mk_mul_relin(self, level: int):
         crt = self.crt
@@ -451,8 +451,8 @@ class Evaluator:
             s1 = P.mod_down(e1, crt)
             return (P.add(s0, c0, crt).data, P.add(s1, c1, crt).data)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def _mk_rescale(self, level: int):
         crt = self.crt
@@ -461,8 +461,8 @@ class Evaluator:
             return (P.rescale(RnsPoly(c0, level, 0, True), crt).data,
                     P.rescale(RnsPoly(c1, level, 0, True), crt).data)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     # -- jitted hoisted rotation-MAC bundles ------------------------------
 
@@ -525,8 +525,8 @@ class Evaluator:
                              P.mod_down(acc1, crt).data))
             return outs
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def _mk_rot_sum(self, auto_idxs: tuple, level: int):
         crt = self.crt
@@ -562,8 +562,8 @@ class Evaluator:
                 acc1 = e1 if acc1 is None else P.add(acc1, e1, crt)
             return (P.mod_down(acc0, crt).data, P.mod_down(acc1, crt).data)
 
-        import jax
-        return jax.jit(impl)
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
 
     def rot_sum_jit(self, items: list) -> Ciphertext:
         """sum_i rot(ct_i, r_i) with one trailing mod-down, as a single

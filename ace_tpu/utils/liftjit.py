@@ -1,0 +1,83 @@
+"""jit with closure constants lifted to runtime arguments.
+
+The CKKS op bundles close over the CrtContext's precompute tables (NTT
+twiddles, base-conversion hat matrices, automorphism index maps —
+tens of MB at N=2^15, L=40). Plain `jax.jit` lowers closed-over arrays
+as dense HLO literals, so every (op, level, rotation) program carried
+its tables inline: ~100 MB StableHLO modules, minutes of remote AOT
+compile each, and zero executable sharing between programs that differ
+only in table VALUES (e.g. two rotation indices at the same level).
+
+`jax.closure_convert` cannot do this hoisting: it lifts only *inexact*
+(float/complex) constants — it exists for custom_vjp — and every CKKS
+table is u32/u64. So we lift by hand: trace once with `make_jaxpr`,
+device-put the jaxpr's consts, and jit an `eval_jaxpr` wrapper that
+takes (args..., consts...) as runtime inputs. Results:
+  - modules shrink ~1000x (tables become parameters),
+  - the persistent compile cache dedupes by HLO hash, so all rotation
+    indices at one (level, pattern) share ONE executable,
+  - runtime cost is unchanged: the tables are device-resident arrays
+    passed by reference.
+
+The wrapper exposes `.lower(*abstract_args)` for AOT precompilation
+(runtime/precompile.py workers duck-type on it like on a jit object).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _eval_jaxpr():
+    # jax.core.eval_jaxpr moved around across jax versions
+    try:
+        return jax.core.eval_jaxpr
+    except AttributeError:  # pragma: no cover
+        from jax._src.core import eval_jaxpr
+        return eval_jaxpr
+
+
+class LiftedJit:
+    def __init__(self, fn):
+        self._fn = fn
+        self._jitted = None
+        self._consts = None
+        self._in_tree = None
+        self._out_tree = None
+
+    def _convert(self, args):
+        closed, out_shape = jax.make_jaxpr(
+            self._fn, return_shape=True)(*args)
+        self._out_tree = jax.tree.structure(out_shape)
+        _, self._in_tree = jax.tree.flatten(args)
+        # device-put consts once; they are shared tables, so repeated
+        # conversions reuse the same underlying buffers
+        self._consts = [jnp.asarray(c) for c in closed.consts]
+        jaxpr = closed.jaxpr
+        ev = _eval_jaxpr()
+        out_tree = self._out_tree
+
+        def conv(flat_args, consts):
+            outs = ev(jaxpr, consts, *flat_args)
+            return jax.tree.unflatten(out_tree, outs)
+
+        self._jitted = jax.jit(conv)
+
+    def __call__(self, *args):
+        if self._jitted is None:
+            self._convert(args)
+        flat, tree = jax.tree.flatten(args)
+        assert tree == self._in_tree, "argument structure changed"
+        return self._jitted(flat, self._consts)
+
+    def lower(self, *args):
+        """AOT lowering; `args` may be ShapeDtypeStructs."""
+        if self._jitted is None:
+            self._convert(args)
+        flat, _ = jax.tree.flatten(args)
+        return self._jitted.lower(flat, self._consts)
+
+
+def lift_jit(fn) -> LiftedJit:
+    return LiftedJit(fn)
