@@ -7,11 +7,13 @@ FFT-factored homomorphic encoding/decoding (Coeff_enc/dec_one_level
 :419-513, Select_layers :513, Coeff_collapse :612-778) at configurable
 level budgets (default {3,3} per rtlib/context.c:162-167).
 
-Simplification vs the reference runtime (noted for later optimization):
-the per-level linear transforms are evaluated as one hoisted rotation
-per band diagonal instead of the BSGS + extended-basis accumulation of
-Rotate_iteration (:1237-1383). Rotation counts are num_rot (7/15) per
-level instead of b+g; semantics are identical.
+The fully-packed per-level transforms use the reference's BSGS +
+extended-basis accumulation (Rotate_iteration :1237-1383): baby-step
+hoisted rotations, giant-step rot_sum over mod-down-hoisted partials
+(`_bsgs_level` below), paying b+g key-switches per level. The sparse
+path (slots < N/2, or tiny transforms where BSGS has no advantage)
+falls back to one hoisted rotation per band diagonal — num_rot (7/15)
+key-switches per level; semantics are identical either way.
 
 Sine approximation constants are the reference's tables
 (ckks_bootstrap_context.h:60-101 hw<=192: K=32, R=3, 55 coeffs;

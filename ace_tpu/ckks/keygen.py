@@ -184,9 +184,11 @@ class KeyGenerator:
         auto_idx = nt.find_automorphism_index(rotation, 2 * n)
         key = self._rot_keys.pop(auto_idx, None)
         if key is None:
-            gen_idx = nt.mod_inv(auto_idx, 2 * n)
-            rotated = P.automorphism(self.sk.ntt_sk, gen_idx, self.crt)
-            key = self._gen_switching_key(self.sk.ntt_sk, rotated)
+            from ace_tpu.runtime.timing import TIMING
+            with TIMING.tm("RTM_ROT_KEY_REGEN"):
+                gen_idx = nt.mod_inv(auto_idx, 2 * n)
+                rotated = P.automorphism(self.sk.ntt_sk, gen_idx, self.crt)
+                key = self._gen_switching_key(self.sk.ntt_sk, rotated)
             if self.max_rot_keys and len(self._rot_keys) >= self.max_rot_keys:
                 evict = next(iter(self._rot_keys))
                 del self._rot_keys[evict]
@@ -205,9 +207,11 @@ class KeyGenerator:
         auto_idx = 2 * n - 1
         key = self._rot_keys.pop(auto_idx, None)
         if key is None:
-            # 2N-1 is self-inverse mod 2N, so gen_idx == auto_idx
-            rotated = P.automorphism(self.sk.ntt_sk, auto_idx, self.crt)
-            key = self._gen_switching_key(self.sk.ntt_sk, rotated)
+            from ace_tpu.runtime.timing import TIMING
+            with TIMING.tm("RTM_ROT_KEY_REGEN"):
+                # 2N-1 is self-inverse mod 2N, so gen_idx == auto_idx
+                rotated = P.automorphism(self.sk.ntt_sk, auto_idx, self.crt)
+                key = self._gen_switching_key(self.sk.ntt_sk, rotated)
             if self.max_rot_keys and len(self._rot_keys) >= self.max_rot_keys:
                 evict = next(iter(self._rot_keys))
                 del self._rot_keys[evict]

@@ -31,14 +31,36 @@ class GraphRunner:
         self.bootstrap_before_relu = bootstrap_before_relu
         self.trace = trace  # callable(msg) — the -trace per-op log
 
-    def run(self, x):
+    def run(self, x, checkpoint: str = ""):
         """x: packed input handle (plain vector or ciphertext) holding
-        the NCHW-flattened image."""
+        the NCHW-flattened image.
+
+        checkpoint: optional .npz path; when set, the live environment
+        is persisted after every op and an existing file resumes the
+        run at its recorded op index (exact: the level trajectory is
+        static). Plain-ciphertext backends only."""
+        import os as _os
         import time as _time
         from ace_tpu.runtime.timing import TIMING
         be = self.be
         env = {self.g.input_name: x}
+        start_idx = 0
+        if checkpoint and _os.path.exists(checkpoint):
+            from ace_tpu.runtime import ckpt as _ckpt
+            env, start_idx = _ckpt.load(checkpoint)
+            if self.trace is not None:
+                self.trace(f"resumed checkpoint at op {start_idx + 1}/"
+                           f"{len(self.g.ops)}")
+        # names still needed strictly after op i (for dead-value drop)
+        needed_after = [set() for _ in self.g.ops]
+        live = {self.g.output_name}
+        for i in range(len(self.g.ops) - 1, -1, -1):
+            needed_after[i] = set(live)
+            live.update(n for n in self.g.ops[i].inputs
+                        if n not in self.g.weights)
         for op_idx, op in enumerate(self.g.ops):
+            if op_idx < start_idx:
+                continue
             t_op = _time.perf_counter()
             xin = env[op.inputs[0]]
             if op.op_type == "Conv":
@@ -108,6 +130,9 @@ class GraphRunner:
             else:
                 raise NotImplementedError(op.op_type)
             env[op.outputs[0]] = out
+            # drop values no op after this one reads (bounds HBM)
+            for dead in [n for n in env if n not in needed_after[op_idx]]:
+                del env[dead]
             # per-op timing buckets in the reference's perf.py naming
             # (Tensor::conv / FHE::relu lines, rtlib_timing.h)
             bucket = ("FHE::relu" if op.op_type == "Relu"
@@ -117,6 +142,9 @@ class GraphRunner:
             if self.trace is not None:
                 self.trace(f"[{op_idx + 1}/{len(self.g.ops)}] "
                            f"{op.op_type} {op.name}: {dt:.2f}s")
+            if checkpoint:
+                from ace_tpu.runtime import ckpt as _ckpt
+                _ckpt.save(checkpoint, env, op_idx + 1)
         return env[self.g.output_name]
 
     def _relu(self, xin, op):

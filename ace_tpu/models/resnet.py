@@ -113,8 +113,10 @@ def infer_plain(graph: NNGraph, image: np.ndarray,
     return runner.run(be.pack(np.asarray(image).reshape(-1)))
 
 
-def infer_encrypted(model: CompiledModel, image: np.ndarray) -> np.ndarray:
-    """One encrypted inference; returns the logits (decrypted)."""
+def infer_encrypted(model: CompiledModel, image: np.ndarray,
+                    checkpoint: str = "") -> np.ndarray:
+    """One encrypted inference; returns the logits (decrypted).
+    `checkpoint`: optional resume file (see GraphRunner.run)."""
     from ace_tpu.runtime.validate import ValidatingBackend, Shadow
     ctx = model.ctx
     ct = ctx.prepare_input(image, "input",
@@ -127,7 +129,7 @@ def infer_encrypted(model: CompiledModel, image: np.ndarray) -> np.ndarray:
         msg[:flat.size] = flat
         x = Shadow(x, msg)
     with TIMING.tm("RTM_MAIN_GRAPH"):
-        out = model.runner.run(x)
+        out = model.runner.run(x, checkpoint=checkpoint)
     if isinstance(be, ValidatingBackend):
         be.check(out, "graph output")
         out = out.ct

@@ -20,6 +20,7 @@
 //   bio_close(h)
 
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -66,7 +67,12 @@ struct UringLoader {
 
   std::mutex mu;
   uint64_t next_tok = 0;
-  std::map<uint64_t, int64_t> done;  // token -> result
+  std::map<uint64_t, int64_t> done;  // token -> result (total bytes or -errno)
+  struct Pending {                   // an in-flight (possibly partial) read
+    char *buf;
+    uint64_t off, len, got;
+  };
+  std::map<uint64_t, Pending> pending;  // token -> progress
   unsigned inflight = 0;
 
   bool open_rings(unsigned entries) {
@@ -107,29 +113,11 @@ struct UringLoader {
     return true;
   }
 
-  // drain any available completions into `done` (caller holds mu)
-  void reap_locked() {
-    unsigned head = __atomic_load_n(cq_head, __ATOMIC_ACQUIRE);
-    unsigned tail = __atomic_load_n(cq_tail, __ATOMIC_ACQUIRE);
-    while (head != tail) {
-      io_uring_cqe *c = &cqes[head & *cq_mask];
-      done[c->user_data] = c->res;
-      inflight--;
-      head++;
-    }
-    __atomic_store_n(cq_head, head, __ATOMIC_RELEASE);
-  }
-
-  int64_t submit(uint64_t off, uint64_t len, void *buf) {
-    std::lock_guard<std::mutex> g(mu);
-    reap_locked();
-    if (inflight >= sq_entries) {
-      // SQ full: wait for one completion inline
-      mu.unlock();
-      sys_io_uring_enter(ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
-      mu.lock();
-      reap_locked();
-    }
+  // Write one SQE and hand it to the kernel. EINTR-retried; on hard
+  // failure the SQ tail is rolled back so no stale SQE pointing at a
+  // (soon to be freed) buffer can be picked up by a later enter().
+  // Caller holds mu. Returns 0 on success, -1 on failure.
+  int push_sqe_locked(uint64_t tok, char *buf, uint64_t off, uint64_t len) {
     unsigned tail = __atomic_load_n(sq_tail, __ATOMIC_ACQUIRE);
     unsigned idx = tail & *sq_mask;
     io_uring_sqe *s = &sqes[idx];
@@ -139,13 +127,81 @@ struct UringLoader {
     s->addr = (uint64_t)buf;
     s->len = (unsigned)len;
     s->off = off;
-    uint64_t tok = next_tok++;
     s->user_data = tok;
     sq_array[idx] = idx;
     __atomic_store_n(sq_tail, tail + 1, __ATOMIC_RELEASE);
-    int r = sys_io_uring_enter(ring_fd, 1, 0, 0);
-    if (r < 0) return -1;
+    int r;
+    do {
+      r = sys_io_uring_enter(ring_fd, 1, 0, 0);
+    } while (r < 0 && errno == EINTR);
+    if (r < 0) {
+      __atomic_store_n(sq_tail, tail, __ATOMIC_RELEASE);
+      return -1;
+    }
     inflight++;
+    return 0;
+  }
+
+  // drain any available completions into `done` (caller holds mu).
+  // Short non-EOF reads are resubmitted for the remainder (buffered
+  // IORING_OP_READ may legally return early), mirroring the thread-pool
+  // fallback's pread loop.
+  void reap_locked() {
+    unsigned head = __atomic_load_n(cq_head, __ATOMIC_ACQUIRE);
+    unsigned tail = __atomic_load_n(cq_tail, __ATOMIC_ACQUIRE);
+    while (head != tail) {
+      io_uring_cqe c = cqes[head & *cq_mask];
+      head++;
+      __atomic_store_n(cq_head, head, __ATOMIC_RELEASE);
+      inflight--;
+      auto it = pending.find(c.user_data);
+      if (it == pending.end()) continue;  // cancelled/unknown
+      Pending &p = it->second;
+      if (c.res == -EINTR || c.res == -EAGAIN) {
+        // transient: retry the remaining extent
+        if (push_sqe_locked(it->first, p.buf + p.got, p.off + p.got,
+                            p.len - p.got) == 0)
+          continue;
+        done[it->first] = -EIO;
+        pending.erase(it);
+      } else if (c.res < 0) {
+        done[it->first] = c.res;
+        pending.erase(it);
+      } else {
+        p.got += (uint64_t)c.res;
+        if (c.res == 0 || p.got >= p.len) {
+          done[it->first] = (int64_t)p.got;  // complete (or true EOF-short)
+          pending.erase(it);
+        } else if (push_sqe_locked(it->first, p.buf + p.got, p.off + p.got,
+                                   p.len - p.got) != 0) {
+          done[it->first] = (int64_t)p.got;  // report progress; caller errors
+          pending.erase(it);
+        }
+      }
+      tail = __atomic_load_n(cq_tail, __ATOMIC_ACQUIRE);
+    }
+  }
+
+  int64_t submit(uint64_t off, uint64_t len, void *buf) {
+    std::unique_lock<std::mutex> g(mu);
+    reap_locked();
+    while (inflight >= sq_entries) {
+      // SQ full: wait for one completion inline, then re-check
+      g.unlock();
+      int r;
+      do {
+        r = sys_io_uring_enter(ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
+      } while (r < 0 && errno == EINTR);
+      g.lock();
+      reap_locked();
+      if (r < 0) return -1;
+    }
+    uint64_t tok = next_tok++;
+    pending[tok] = Pending{(char *)buf, off, len, 0};
+    if (push_sqe_locked(tok, (char *)buf, off, len) != 0) {
+      pending.erase(tok);
+      return -1;
+    }
     return (int64_t)tok;
   }
 

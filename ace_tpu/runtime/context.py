@@ -59,6 +59,38 @@ class FheContext:
         self._io_inputs: dict[str, object] = {}
         self._io_outputs: dict[str, object] = {}
 
+    @classmethod
+    def from_manifest(cls, path: str, **kw) -> "FheContext":
+        """Rebuild a runtime context from a compile-driver manifest
+        (the analog of the generated Get_context_params consumed by
+        Prepare_context — eg_fhertlib_add.inc:15-24, context.c:29-86).
+
+        Restores the scheme parameters, opens the weight file if the
+        manifest names one, and pre-warms the rotation-key LRU with the
+        manifest's rotation inventory (up to the LRU capacity)."""
+        import json
+        from ace_tpu.compiler.scheme_info import SchemeInfo
+        with open(path) as f:
+            m = json.load(f)
+        s = dict(m["scheme"])
+        s["rotate_indices"] = tuple(s.get("rotate_indices", ()))
+        ctx = cls(scheme_info=SchemeInfo(**s), **kw)
+        ctx.manifest = m
+        wf = m.get("weights_file")
+        if wf:
+            import os
+            if not os.path.isabs(wf):
+                wf = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                  wf)
+            if os.path.exists(wf):
+                ctx.open_weight_file(wf)
+        rots = m.get("rotate_indices", [])
+        cap = ctx.keygen.max_rot_keys or len(rots)
+        for r in rots[:cap]:
+            if r:
+                ctx.keygen.rot_key(int(r))
+        return ctx
+
     # -- bootstrap precompute (context.c:162-185) -----------------------
 
     def bootstrap_precom(self, slots: int = 0, level_budget=(3, 3)):

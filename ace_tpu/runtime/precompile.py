@@ -64,7 +64,11 @@ def _ser_key(key):
 # -- inventory mode --------------------------------------------------------
 
 def patch_inventory(ev, records: list):
-    """Replace ev's jit dispatch with a record-shapes-only stub."""
+    """Replace ev's jit dispatch with a record-shapes-only stub.
+
+    Each record carries a "calls" count (how many times the program is
+    dispatched per image) so runtime can be projected from per-program
+    timings; counts are live-updated in place as the stub runs."""
     import jax
     import jax.numpy as jnp
 
@@ -80,11 +84,14 @@ def patch_inventory(ev, records: list):
                      _state=state):
                 if "out" not in _state:
                     _state["out"] = jax.eval_shape(_fn, *args)
-                    records.append({
+                    _state["rec"] = {
                         "kind": _key[0],
                         "builder_args": _ser_key(tuple(_bargs)),
                         "arg_shapes": _ser_shapes(list(args)),
-                    })
+                        "calls": 0,
+                    }
+                    records.append(_state["rec"])
+                _state["rec"]["calls"] += 1
                 return jax.tree.map(
                     lambda s: jnp.zeros(s.shape, s.dtype), _state["out"])
 
@@ -156,6 +163,25 @@ def _detuple(x):
     return x
 
 
+def _dedup_key(r):
+    """Programs identical after liftjit const-lifting share one HLO.
+
+    Automorphism index maps and key VALUES are lifted to runtime args,
+    so two `rot` records at the same level (different rotation index)
+    compile to the same executable; same for rsum/rmg where only the
+    identity-pattern of auto_idxs is structural."""
+    k, ba = r["kind"], r["builder_args"]
+    if k == "rot":
+        norm = ("lvl", ba[1])
+    elif k == "rsum":
+        norm = (tuple(a == 1 for a in ba[0]), ba[1])
+    elif k == "rmg":
+        norm = (tuple(a == 1 for a in ba[0]), json.dumps(ba[1]), ba[2])
+    else:
+        norm = json.dumps(ba)
+    return (k, norm, json.dumps(r["arg_shapes"]))
+
+
 def run_worker(args):
     import ace_tpu  # noqa: F401  (x64 + persistent cache)
     import jax
@@ -166,7 +192,13 @@ def run_worker(args):
     lines = [json.loads(l) for l in open(args.inventory)]
     header = lines[0]
     assert header["kind"] == "header"
-    recs = [r for r in lines[1:]]
+    seen = set()
+    recs = []
+    for r in lines[1:]:
+        dk = _dedup_key(r)
+        if dk not in seen:
+            seen.add(dk)
+            recs.append(r)
     my = [r for i, r in enumerate(recs)
           if i % args.num_shards == args.shard]
     params = CkksParams(

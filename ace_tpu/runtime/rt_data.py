@@ -153,10 +153,15 @@ class PtManager:
             return
         if self._aio is not None:
             with self._lock:
-                if name not in self._pending:
-                    ent = self.reader.entries[idx]
-                    self._pending[name] = self._aio.submit(
-                        ent["offset"], ent["nbytes"])
+                if name in self._pending:
+                    return
+                # already decoded at some (level, sf_degree): a new read
+                # would never be waited on and would pin its buffer
+                if any(k[0] == name for k in self._cache):
+                    return
+                ent = self.reader.entries[idx]
+                self._pending[name] = self._aio.submit(
+                    ent["offset"], ent["nbytes"])
             return
         threading.Thread(target=self.reader.prefetch, args=(idx,),
                          daemon=True).start()

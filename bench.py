@@ -88,15 +88,16 @@ def main():
     # resnet20_cifar10`). vs_baseline = reference s/image / ours.
     if os.path.exists(RESULT_JSON) and not os.environ.get("ACE_BENCH_NTT"):
         rows = json.load(open(RESULT_JSON))
-        secs = sorted(r["seconds"] for r in rows)
-        s_img = secs[len(secs) // 2]  # median image
-        print(json.dumps({
-            "metric": "resnet20_cifar10_encrypted_s_per_image",
-            "value": round(s_img, 2),
-            "unit": "s/image",
-            "vs_baseline": round(RESNET20_BASELINE_S / s_img, 2),
-        }))
-        return
+        if rows:  # an interrupted run can leave an empty list
+            secs = sorted(r["seconds"] for r in rows)
+            s_img = secs[len(secs) // 2]  # median image
+            print(json.dumps({
+                "metric": "resnet20_cifar10_encrypted_s_per_image",
+                "value": round(s_img, 2),
+                "unit": "s/image",
+                "vs_baseline": round(RESNET20_BASELINE_S / s_img, 2),
+            }))
+            return
 
     cpu_ntt_per_s = None
     try:

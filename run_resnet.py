@@ -45,6 +45,9 @@ def main():
                     help="runtime validation: lockstep plaintext shadow "
                          "checks after every op (the -VEC:rtt analog)")
     ap.add_argument("--json", default="")
+    ap.add_argument("--checkpoint", default="",
+                    help="per-op resume file (single-image runs): the "
+                         "run resumes where it stopped if this exists")
     args = ap.parse_args()
 
     os.environ.setdefault("RTLIB_TIMING_OUTPUT", "1")
@@ -95,7 +98,8 @@ def main():
     for i in range(args.images):
         plain = M.infer_plain(g, imgs[i])
         t0 = time.time()
-        logits = M.infer_encrypted(model, imgs[i])
+        ck = args.checkpoint if args.images == 1 else ""
+        logits = M.infer_encrypted(model, imgs[i], checkpoint=ck)
         dt = time.time() - t0
         k = min(len(logits), len(plain))
         err = float(np.max(np.abs(logits[:k] - plain[:k])))
