@@ -205,6 +205,42 @@ def min_poly_degree_for_bits(bits: int, security_level: int) -> int:
     raise ValueError(f"modulus {bits} bits exceeds security table")
 
 
+def security_posture(info: SchemeInfo) -> dict:
+    """Honest classification of a parameter set against the HE-standard
+    modulus tables (fhe_std_parms.h:76-106 analog, MODULUS_BOUNDS).
+
+    Returns {bits, degree, level: 128|192|256|0, compliant, detail};
+    level is the strongest HE-std classical level the (degree, QP-bits)
+    pair satisfies, 0 if none. Benchmarks must surface this — a timing
+    at a non-compliant parameter set is a perf datapoint, not a secure-
+    inference claim."""
+    bits = modulus_bit_num(info.mul_level + 1, info.first_mod_size,
+                           info.scaling_mod_size, info.q_part_num)
+    idx = round(math.log2(info.poly_degree)) - _BOUNDS_FIRST_POW
+    level = 0
+    for lv in (256, 192, 128):
+        tab = MODULUS_BOUNDS[lv]
+        if 0 <= idx < len(tab) and bits <= tab[idx]:
+            level = lv
+            break
+    if level:
+        detail = f"{level}-bit classical (HE-std): QP={bits} bits " \
+                 f"at N=2^{idx + _BOUNDS_FIRST_POW}"
+    else:
+        need = None
+        tab = MODULUS_BOUNDS[128]
+        for i, bound in enumerate(tab):
+            if bits <= bound:
+                need = 1 << (_BOUNDS_FIRST_POW + i)
+                break
+        detail = (f"NOT HE-std compliant: QP={bits} bits at "
+                  f"N=2^{idx + _BOUNDS_FIRST_POW} "
+                  + (f"needs N>={need} for 128-bit classical"
+                     if need else "exceeds every table row"))
+    return {"bits": bits, "degree": info.poly_degree, "level": level,
+            "compliant": bool(level), "detail": detail}
+
+
 def select_params(graph, cfg: SchemeConfig | None = None) -> SchemeInfo:
     """The full SCHEME_INFO_ANA::Run policy for one NN graph.
 

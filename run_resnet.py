@@ -85,6 +85,11 @@ def main():
     print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "
           f"L={model.scheme.mul_level} "
           f"(context {time.time() - t0:.1f}s)", file=sys.stderr)
+    from ace_tpu.compiler.scheme_info import security_posture
+    sec = security_posture(model.scheme)
+    print(f"# security: {sec['detail']}"
+          + ("" if sec["compliant"] else " [perf-evaluation config — "
+             "see SECURITY.md]"), file=sys.stderr)
 
     if args.cifar:
         classes = 100 if "cifar100" in args.model else 10
@@ -113,6 +118,11 @@ def main():
 
     print(TIMING.report(), file=sys.stderr)
     if args.json:
+        for row in results:
+            row["params"] = dict(
+                N=model.scheme.poly_degree, L=model.scheme.mul_level,
+                hamming_weight=model.scheme.hamming_weight,
+                security=sec["detail"])
         with open(args.json, "w") as f:
             json.dump(results, f)
 
