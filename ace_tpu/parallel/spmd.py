@@ -155,6 +155,7 @@ class SpmdKeySwitch:
         self.qp_mu_hi = jnp.asarray(modops.np_u64([[m[0]] for m in mus]))
         self.qp_mu_lo = jnp.asarray(modops.np_u64([[m[1]] for m in mus]))
         self._jit_cache = {}
+        self._resident = {}  # id(SwitchKey) -> digit-sharded stacks
 
     def _auto_maps(self, auto_idx: int):
         """Per-shard column gather maps [s, R, C/s] of flat-N indices."""
@@ -165,7 +166,14 @@ class SpmdKeySwitch:
         maps = np.stack([flat[:, k * Cl:(k + 1) * Cl] for k in range(s)])
         return jnp.asarray(maps.astype(np.int32))
 
-    def _build(self):
+    def _build(self, with_auto: bool = True):
+        """shard_map body for one hybrid key-switch.
+
+        with_auto=True: rotate semantics — switch-key c1, add c0, apply
+        the automorphism to both outputs (Fast_rotate).
+        with_auto=False: relinearize semantics — switch-key the target
+        poly (c2), add (c0, c1) to the two outputs (Relinearize_ciph3,
+        ckks_evaluator.c:258-270)."""
         level, per, QP = self.level, self.per, self.QP
         R, C, s, n = self.R, self.C, self.s, self.n
         num_p = self.num_p
@@ -176,8 +184,8 @@ class SpmdKeySwitch:
         mu_hi3 = self.qp_mu_hi[:, :, None]
         mu_lo3 = self.qp_mu_lo[:, :, None]
 
-        def body(c0, c1, kb, ka, hat_inv, hat_prec, mat, part_q, amap,
-                 *tab_arrays):
+        def body(c0, c1, tgt, kb, ka, hat_inv, hat_prec, mat, part_q,
+                 amap, *tab_arrays):
             tabs = dict(zip(_TAB_ORDER, tab_arrays))
             Cl = c0.shape[2]
 
@@ -198,7 +206,7 @@ class SpmdKeySwitch:
             d = jax.lax.axis_index("digit")
             start = jnp.minimum(d * per, level - per).astype(jnp.int32)
             zero = jnp.int32(0)
-            part = jax.lax.dynamic_slice(c1, (start, zero, zero),
+            part = jax.lax.dynamic_slice(tgt, (start, zero, zero),
                                          (per, R, Cl))
             _, inv_full = _packs(tabs, slice(0, QP))
             inv_part = tuple(_dyn_rows(x, start, per) for x in inv_full)
@@ -235,6 +243,9 @@ class SpmdKeySwitch:
             s0 = mod_down_local(e0)
             s1 = mod_down_local(e1)
             t0 = modops.add_mod(s0, c0, q3)
+            if not with_auto:
+                t1 = modops.add_mod(s1, c1, q3)
+                return t0, t1
 
             def auto(x):
                 full = jax.lax.all_gather(x, "slot", axis=2, tiled=True)
@@ -248,16 +259,56 @@ class SpmdKeySwitch:
             P_(None, None, "slot") if name in _COL_TABS
             else P_(*([None] * getattr(self.tabs, name).ndim))
             for name in _TAB_ORDER)
+        out_spec = spec_ct
         return shard_map(
             body, mesh=self.mesh,
-            in_specs=(spec_ct, spec_ct, spec_key, spec_key,
+            in_specs=(spec_ct, spec_ct, spec_ct, spec_key, spec_key,
                       P_("digit", None), P_("digit", None),
                       P_("digit", None, None),
                       P_("digit", None, None, None),
                       P_("slot", None, None)) + tab_specs,
-            out_specs=(spec_ct, spec_ct),
+            out_specs=(out_spec, out_spec),
             check_vma=False,
         )
+
+    # -- per-digit key residency -------------------------------------------
+
+    def _key_stack(self, key):
+        """[D, QP, R, C] digit stack of one switching key, device-put
+        with the 'digit'-sharded layout: each digit row of the mesh
+        holds ONLY its own digit (1/D of the key bytes — the multi-chip
+        key-residency motivation, rtlib context.c:100-107). Cached per
+        key object so repeated ops reuse resident shards."""
+        kid = id(key)
+        hit = self._resident.get(kid)
+        if hit is not None:
+            return hit
+        from jax.sharding import NamedSharding
+        level = self.level
+        R, C = self.R, self.C
+
+        def stack(kparts):
+            rows = []
+            for kp in kparts:
+                data = jnp.concatenate(
+                    [kp.data[:level], kp.data[self.crt.num_q:]], axis=0)
+                rows.append(data.reshape(self.QP, R, C))
+            sh = NamedSharding(self.mesh, P_("digit", None, None, "slot"))
+            return jax.device_put(jnp.stack(rows), sh)
+
+        out = (stack(key.b), stack(key.a))
+        self._resident[kid] = out
+        return out
+
+    def key_memory_resident_bytes(self) -> int:
+        """Per-device key bytes (total / D / s): the residency report."""
+        total = 0
+        for kb, ka in self._resident.values():
+            total += kb.size * kb.dtype.itemsize
+            total += ka.size * ka.dtype.itemsize
+        return total // (self.num_digits * self.s)
+
+    # -- ops -----------------------------------------------------------------
 
     def rotate(self, ct, rotation: int, keygen):
         """SPMD rotate: bit-exact vs Evaluator.rotate."""
@@ -265,21 +316,14 @@ class SpmdKeySwitch:
         level = self.level
         assert ct.level == level
         R, C = self.R, self.C
-
-        def key_stack(kparts):
-            rows = []
-            for kp in kparts:
-                data = jnp.concatenate(
-                    [kp.data[:level], kp.data[self.crt.num_q:]], axis=0)
-                rows.append(data.reshape(self.QP, R, C))
-            return jnp.stack(rows)
-
-        if "fn" not in self._jit_cache:
-            self._jit_cache["fn"] = jax.jit(self._build())
-        d0, d1 = self._jit_cache["fn"](
+        if "rot" not in self._jit_cache:
+            self._jit_cache["rot"] = jax.jit(self._build(with_auto=True))
+        kb, ka = self._key_stack(key)
+        d0, d1 = self._jit_cache["rot"](
             ct.c0.data.reshape(level, R, C),
             ct.c1.data.reshape(level, R, C),
-            key_stack(key.b), key_stack(key.a),
+            ct.c1.data.reshape(level, R, C),
+            kb, ka,
             self.hat_inv, self.hat_prec, self.mat, self.part_q,
             self._auto_maps(auto_idx), *_tab_list(self.tabs))
         from ace_tpu.ckks.cipher import Ciphertext
@@ -287,3 +331,27 @@ class SpmdKeySwitch:
             RnsPoly(d0.reshape(level, self.n), level, 0, True),
             RnsPoly(d1.reshape(level, self.n), level, 0, True),
             ct.scaling_factor, ct.sf_degree, ct.slots)
+
+    def relinearize(self, c3, keygen):
+        """SPMD relinearize of a 3-term ciphertext: switch-key c2
+        against the relin key, add into (c0, c1). Bit-exact vs
+        Evaluator.relinearize (same digit MACs + mod-down)."""
+        level = self.level
+        assert c3.c2.num_q == level
+        R, C = self.R, self.C
+        if "relin" not in self._jit_cache:
+            self._jit_cache["relin"] = jax.jit(
+                self._build(with_auto=False))
+        kb, ka = self._key_stack(keygen.relin_key)
+        d0, d1 = self._jit_cache["relin"](
+            c3.c0.data.reshape(level, R, C),
+            c3.c1.data.reshape(level, R, C),
+            c3.c2.data.reshape(level, R, C),
+            kb, ka,
+            self.hat_inv, self.hat_prec, self.mat, self.part_q,
+            self._auto_maps(1), *_tab_list(self.tabs))
+        from ace_tpu.ckks.cipher import Ciphertext
+        return Ciphertext(
+            RnsPoly(d0.reshape(level, self.n), level, 0, True),
+            RnsPoly(d1.reshape(level, self.n), level, 0, True),
+            c3.scaling_factor, c3.sf_degree, c3.slots)

@@ -24,7 +24,12 @@ class FheContext:
     def __init__(self, params: CkksParams = None, *, scheme_info=None,
                  seed: int = 0, bootstrap_slots: tuple = (),
                  level_budget=(3, 3), max_rot_keys: int = 0,
-                 rot_key_budget_bytes: int = 0, mesh=None):
+                 rot_key_budget_bytes: int = 0, mesh=None,
+                 digit_mesh=None):
+        """mesh: limb-sharded residency for keys/plaintexts (put_limb).
+        digit_mesh: a ('digit','slot') Mesh routing key-switches through
+        the SPMD evaluator (parallel/spmd_eval.py) with per-digit key
+        residency."""
         from ace_tpu.ckks.encoder import Encoder
         from ace_tpu.ckks.keygen import KeyGenerator
         from ace_tpu.ckks.evaluator import Evaluator
@@ -50,7 +55,13 @@ class FheContext:
             from ace_tpu.utils.csprng import Blake2Csprng
             self.keygen = KeyGenerator(params, Blake2Csprng(seed),
                                        max_rot_keys=max_rot_keys, mesh=mesh)
-            self.evaluator = Evaluator(params, self.keygen, self.encoder)
+            if digit_mesh is not None:
+                from ace_tpu.parallel.spmd_eval import SpmdEvaluator
+                self.evaluator = SpmdEvaluator(params, self.keygen,
+                                               self.encoder, digit_mesh)
+            else:
+                self.evaluator = Evaluator(params, self.keygen,
+                                           self.encoder)
             self.evaluator.mesh = mesh
             self._bts = {}
             for slots in bootstrap_slots:

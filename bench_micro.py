@@ -94,7 +94,14 @@ def main():
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({k: v for k, v in results.items()}, f)
+            json.dump({
+                "backend": jax.default_backend(),
+                "degree": args.degree, "num_q": args.num_q,
+                "iters": args.iters,
+                "seconds": results,
+                "key_switches_per_s": round(1.0 / results["rotate"], 1)
+                if "rotate" in results else None,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":
