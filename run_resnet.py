@@ -99,32 +99,54 @@ def main():
         imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
         labels = None
 
+    # resume: completed images live in the json; in-flight images in
+    # their per-image checkpoint file
     results = []
+    done_imgs = set()
+    if args.json and os.path.exists(args.json):
+        try:
+            results = json.load(open(args.json))
+            done_imgs = {r["image"] for r in results}
+            if done_imgs:
+                print(f"# resuming: images {sorted(done_imgs)} already "
+                      f"done in {args.json}", file=sys.stderr)
+        except Exception:
+            results = []
+
+    def flush():
+        if args.json:
+            with open(args.json + ".tmp", "w") as f:
+                json.dump(results, f)
+            os.replace(args.json + ".tmp", args.json)
+
+    params_row = dict(
+        N=model.scheme.poly_degree, L=model.scheme.mul_level,
+        hamming_weight=model.scheme.hamming_weight,
+        security=sec["detail"])
     for i in range(args.images):
+        if i in done_imgs:
+            continue
         plain = M.infer_plain(g, imgs[i])
         t0 = time.time()
-        ck = args.checkpoint if args.images == 1 else ""
+        ck = (args.checkpoint + f".img{i}.npz") if args.checkpoint else ""
         logits = M.infer_encrypted(model, imgs[i], checkpoint=ck)
         dt = time.time() - t0
+        if ck and os.path.exists(ck):
+            os.remove(ck)
         k = min(len(logits), len(plain))
         err = float(np.max(np.abs(logits[:k] - plain[:k])))
         agree = bool(np.argmax(logits[:k]) == np.argmax(plain[:k]))
-        row = dict(image=i, seconds=dt, max_err=err, argmax_agree=agree)
+        row = dict(image=i, seconds=dt, max_err=err, argmax_agree=agree,
+                   params=params_row)
         if labels is not None:
             row["label_match"] = bool(np.argmax(logits[:k]) == labels[i])
         results.append(row)
+        flush()
         print(f"image {i}: {dt:.1f}s max_err={err:.3e} "
-              f"argmax_agree={agree}")
+              f"argmax_agree={agree}", flush=True)
 
     print(TIMING.report(), file=sys.stderr)
-    if args.json:
-        for row in results:
-            row["params"] = dict(
-                N=model.scheme.poly_degree, L=model.scheme.mul_level,
-                hamming_weight=model.scheme.hamming_weight,
-                security=sec["detail"])
-        with open(args.json, "w") as f:
-            json.dump(results, f)
+    flush()
 
 
 if __name__ == "__main__":
