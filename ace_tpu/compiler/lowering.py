@@ -122,8 +122,12 @@ class GraphRunner:
                 rows = 1
                 while rows < out_dim:
                     rows *= 2
-                w_pad = np.zeros((rows, in_dim))
-                w_pad[:out_dim] = w
+                # gemm needs rows | in_dim; zero-pad input columns up
+                # (zero weights null out whatever sits in the padded
+                # slots, e.g. cifar100's 100 classes over 64 features)
+                in_pad = max(in_dim, rows * ((in_dim + rows - 1) // rows))
+                w_pad = np.zeros((rows, in_pad))
+                w_pad[:out_dim, :in_dim] = w
                 b_pad = np.zeros(rows)
                 b_pad[:out_dim] = b
                 out = pk.gemm(be, xin, w_pad, b_pad)

@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--checkpoint", default="",
                     help="per-op resume file (single-image runs): the "
                          "run resumes where it stopped if this exists")
+    ap.add_argument("--max-rot-keys", type=int, default=0,
+                    help="rotation-key LRU capacity override (0 = size "
+                         "from the default HBM budget)")
     args = ap.parse_args()
 
     os.environ.setdefault("RTLIB_TIMING_OUTPUT", "1")
@@ -77,9 +80,11 @@ def main():
         from ace_tpu.runtime.context import FheContext
         info = select_params(g, cfg)
         info.mul_level = args.mul_level
-        ctx = FheContext(scheme_info=info, max_rot_keys=100)
+        ctx = FheContext(scheme_info=info,
+                         max_rot_keys=args.max_rot_keys or 100)
     model = M.compile_model(
         g, cfg, ctx=ctx, check_every=args.rtt,
+        max_rot_keys=args.max_rot_keys,
         num_classes=100 if "cifar100" in args.model else 10,
         trace=lambda msg: print(f"# {msg}", file=sys.stderr, flush=True))
     print(f"# params: N=2^{model.scheme.poly_degree.bit_length()-1} "

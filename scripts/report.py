@@ -56,18 +56,25 @@ def render() -> str:
             continue
         best = min(secs)
         ref = REF_SECONDS.get(model)
+        par = next((r.get("params") for r in data if r.get("params")), {})
+        ptxt = (f"N=2^{(par['N']).bit_length() - 1} L={par['L']}"
+                if par.get("N") else "-")
+        sec_ok = ("yes" if "classical" in str(par.get("security", ""))
+                  and "NOT" not in str(par.get("security", "")) else
+                  "no (perf cfg, see SECURITY.md)")
         rows.append((model, len(secs), best, sum(secs) / len(secs),
-                     sum(1 for a in agree if a), ref))
+                     sum(1 for a in agree if a), ref, ptxt, sec_ok))
     if rows:
         lines += ["## Encrypted inference latency (one TPU v5e chip)", "",
                   "| model | images | best s/img | mean s/img | argmax agree "
-                  "| reference s/img (1-thread Xeon) | speedup |",
-                  "|---|---|---|---|---|---|---|"]
-        for model, n, best, mean, ok, ref in rows:
+                  "| params | HE-std | reference s/img (1-thread Xeon) "
+                  "| speedup |",
+                  "|---|---|---|---|---|---|---|---|---|"]
+        for model, n, best, mean, ok, ref, ptxt, sec_ok in rows:
             sp = f"{ref / best:.1f}x" if ref else "-"
             rf = f"{ref:.0f}" if ref else "-"
             lines.append(f"| {model} | {n} | {best:.1f} | {mean:.1f} "
-                         f"| {ok}/{n} | {rf} | {sp} |")
+                         f"| {ok}/{n} | {ptxt} | {sec_ok} | {rf} | {sp} |")
         lines.append("")
 
     # -- accuracy (Table 11 analog) ---------------------------------------
@@ -106,13 +113,22 @@ def render() -> str:
         lines.append("")
 
     # -- micro benches -------------------------------------------------------
-    micro = _load(os.path.join(ROOT, "results", "micro.json"))
-    if micro:
-        lines += ["## Op microbenchmarks (ut_ckks_perf analog)", "",
-                  "| op | level | ms | ops/s |", "|---|---|---|---|"]
-        for r in micro:
-            lines.append(f"| {r['op']} | {r.get('level', '-')} "
-                         f"| {r['ms']:.2f} | {1000.0 / r['ms']:.1f} |")
+    micro_paths = sorted(glob.glob(os.path.join(
+        ROOT, "results", "bench_micro_r*.json")))
+    for path in micro_paths:
+        d = _load(path)
+        if not d or "seconds" not in d:
+            continue
+        rnd = os.path.basename(path)[len("bench_micro_"):-5]
+        lines += [f"## Op microbenchmarks {rnd} (ut_ckks_perf analog) — "
+                  f"backend={d.get('backend')} N={d.get('degree')} "
+                  f"num_q={d.get('num_q')}", "",
+                  "| op | ms | ops/s |", "|---|---|---|"]
+        for op, s in d["seconds"].items():
+            lines.append(f"| {op} | {s * 1e3:.3f} | {1.0 / s:.1f} |")
+        if d.get("key_switches_per_s"):
+            lines.append(f"| (key-switches/s) | - "
+                         f"| {d['key_switches_per_s']} |")
         lines.append("")
 
     if len(lines) == 2:
