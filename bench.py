@@ -77,8 +77,13 @@ def bench_cpu_baseline(q: int) -> float:
 
 
 RESNET20_BASELINE_S = 1453.96  # scripts/ace_pre.log:28 (Xeon, 1 thread)
-RESULT_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "logs", "resnet20_result.json")
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+RESULT_CANDIDATES = (
+    os.path.join(_ROOT, "results", "resnet20_cifar10.json"),
+    os.path.join(_ROOT, "logs", "resnet20_result.json"),
+)
+RESULT_JSON = next((p for p in RESULT_CANDIDATES if os.path.exists(p)),
+                   RESULT_CANDIDATES[0])
 
 
 def main():
@@ -89,8 +94,13 @@ def main():
     if os.path.exists(RESULT_JSON) and not os.environ.get("ACE_BENCH_NTT"):
         rows = json.load(open(RESULT_JSON))
         if rows:  # an interrupted run can leave an empty list
-            secs = sorted(r["seconds"] for r in rows)
-            s_img = secs[len(secs) // 2]  # median image
+            # image 0 pays one-time in-process tracing of every program
+            # (the compile/codegen analog); steady-state per-image cost
+            # is the comparable metric vs the reference's per-image loop
+            rows_s = sorted(rows, key=lambda r: r["image"])
+            steady = rows_s[1:] if len(rows_s) > 1 else rows_s
+            secs = sorted(r["seconds"] for r in steady)
+            s_img = secs[len(secs) // 2]  # median steady-state image
             print(json.dumps({
                 "metric": "resnet20_cifar10_encrypted_s_per_image",
                 "value": round(s_img, 2),
