@@ -33,10 +33,13 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: CKKS programs compile one XLA executable
 # per (op, level) pair; caching them on disk makes every run after the
-# first start instantly (override dir with ACE_TPU_CACHE_DIR, disable
-# with ACE_TPU_CACHE_DIR="").
-_cache_dir = os.environ.get("ACE_TPU_CACHE_DIR",
-                            os.path.expanduser("~/.cache/ace_tpu_xla"))
+# first start instantly. The default lives INSIDE the repo (committed at
+# milestones) because ~/.cache does not survive machine restores
+# (override dir with ACE_TPU_CACHE_DIR, disable with ACE_TPU_CACHE_DIR="").
+_cache_dir = os.environ.get(
+    "ACE_TPU_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".xla_cache"))
 if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -7,13 +7,13 @@ FFT-factored homomorphic encoding/decoding (Coeff_enc/dec_one_level
 :419-513, Select_layers :513, Coeff_collapse :612-778) at configurable
 level budgets (default {3,3} per rtlib/context.c:162-167).
 
-The fully-packed per-level transforms use the reference's BSGS +
-extended-basis accumulation (Rotate_iteration :1237-1383): baby-step
-hoisted rotations, giant-step rot_sum over mod-down-hoisted partials
-(`_bsgs_level` below), paying b+g key-switches per level. The sparse
-path (slots < N/2, or tiny transforms where BSGS has no advantage)
-falls back to one hoisted rotation per band diagonal — num_rot (7/15)
-key-switches per level; semantics are identical either way.
+The per-level transforms (fully-packed AND sparse) use the reference's
+BSGS + extended-basis accumulation (Rotate_iteration :1237-1383):
+baby-step hoisted rotations, giant-step rot_sum over mod-down-hoisted
+partials (`_bsgs_level` below), paying b+g key-switches per level.
+Tiny transforms where BSGS has no advantage (g<=1 or num_rot<=g) fall
+back to one hoisted rotation per band diagonal — num_rot key-switches
+per level; semantics are identical either way.
 
 Sine approximation constants are the reference's tables
 (ckks_bootstrap_context.h:60-101 hw<=192: K=32, R=3, 55 coeffs;
@@ -261,7 +261,8 @@ def bootstrap_rotation_indices(degree: int, slots: int = 0,
     for encoding, budget in ((True, min(level_budget[0], log_slots) or 1),
                              (False, min(level_budget[1], log_slots) or 1)):
         p = fft_params(slots, budget)
-        slots_value = slots if encoding else (n // 2)
+        slots_value = ((2 * slots if not full_pack else slots)
+                       if encoding else (n // 2))
         flag_rem = p["flag_rem"]
         start = flag_rem if encoding else 0
         end = budget if encoding else budget - flag_rem
@@ -278,7 +279,7 @@ def bootstrap_rotation_indices(degree: int, slots: int = 0,
             else:
                 shift = 1 << (s * p["layers_coll"])
             h = (nr + 1) // 2 - 1
-            if full_pack and g > 1 and nr > g:
+            if g > 1 and nr > g:
                 for j in range(g):
                     out.add(reduce_rotation(j * shift, slots_value))
                 for i in range(-(-nr // g)):
@@ -342,10 +343,21 @@ class BootstrapContext:
             self.double_angle = R_UNIFORM
             self.k_bound = K_UNIFORM
 
-        self.enc_coeff = coeff_collapse(ksipows, rot_group, budget_enc,
-                                        False, True)
-        self.dec_coeff = coeff_collapse(ksipows, rot_group, budget_dec,
-                                        False, False)
+        def collapse(budget: int, encoding: bool):
+            c1 = coeff_collapse(ksipows, rot_group, budget, False, encoding)
+            if not self.is_sparse:
+                return c1
+            # sparse packing: the conjugate-channel tables (flag=True)
+            # are CONCATENATED onto the primary ones, giving 2*slots
+            # diagonals — this is how the imaginary/conjugate halves of
+            # the coefficient vector survive the sparse path
+            # (Coeffs2slots_precomp/Slots2coeffs_precomp merge,
+            # ckks_bootstrap_context.c:795-825, 884-913)
+            c2 = coeff_collapse(ksipows, rot_group, budget, True, encoding)
+            return [np.concatenate([a, b], axis=1) for a, b in zip(c1, c2)]
+
+        self.enc_coeff = collapse(budget_enc, True)
+        self.dec_coeff = collapse(budget_dec, False)
         # pre-normalize the encoding matrices by 1/(N * K * 2^deg),
         # distributed per level (ckks_bootstrap_context.c:828-858)
         factor = 1.0 / n / self.k_bound / (2.0 ** self.deg)
@@ -362,7 +374,11 @@ class BootstrapContext:
         coeff = self.enc_coeff if encoding else self.dec_coeff
         slots = self.slots
         n4 = self.ev.params.degree // 2
-        slots_value = slots if encoding else n4
+        # rotation-offset reduction period: intermediates are
+        # 2*slots-periodic in the sparse case (merged conjugate-channel
+        # diagonals), so offsets must not be folded mod slots
+        slots_value = ((2 * slots if self.is_sparse else slots)
+                       if encoding else n4)
         flag_rem = p["flag_rem"]
         budget = p["level_budget"]
         start = flag_rem if encoding else 0
@@ -405,15 +421,16 @@ class BootstrapContext:
         single extended-basis rot_sum. b+g key-switches instead of
         num_rot, all inside two jitted programs.
 
-        Falls back to direct hoisted rotations when the ring is
-        sparse-packed (diag roll units differ from rotation units) or
-        the level is small.
+        Sparse packing works too: diagonals are the merged 2*slots
+        conjugate-channel tables, so intermediates are 2*slots-periodic;
+        `slots_value` (the offset-reduction period) and the diagonal
+        roll period both come from the merged diagonal length. Only
+        tiny levels (g<=1 or nr<=g, where BSGS saves nothing) fall back
+        to one hoisted rotation per band diagonal.
         """
         ev = self.ev
         nr = len(offs)
-        slots = self.slots
-        full_pack = (slots == ev.params.degree // 2)
-        if not full_pack or g <= 1 or nr <= g:
+        if g <= 1 or nr <= g:
             pls = []
             live = []
             for off, diag in zip(offs, diags):
@@ -440,12 +457,13 @@ class BootstrapContext:
                     rows.append(None)
                     continue
                 # rot(d', giant) must equal diag: d'[t] = diag[t - giant]
-                rows.append(np.roll(diags[u], giant % slots))
+                period = len(diags[u])
+                rows.append(np.roll(diags[u], giant % period))
                 any_live = True
             if any_live:
                 groups.append([
                     None if r is None else ev.encoder.encode_cached(
-                        r, level=ct.level, slots=slots, extended=True)
+                        r, level=ct.level, slots=len(r), extended=True)
                     for r in rows])
                 giants.append(reduce_rotation(giant, slots_value))
         inners = ev.rot_ext_mac_groups_jit(ct, baby_offs, groups)

@@ -601,7 +601,8 @@ class Evaluator:
                           ct0.scaling_factor, ct0.sf_degree, ct0.slots)
 
     def rot_ext_mac_groups_jit(self, ct: Ciphertext, rots: list,
-                               plain_groups: list) -> list:
+                               plain_groups: list,
+                               _bundle: int = 0) -> list:
         """[sum_i rot(ct, rots[i]) * plain_groups[g][i] for g] — one
         jitted XLA program per (rotation set, usage pattern, level).
         plain_groups entries are extended-basis Plaintexts or None.
@@ -609,7 +610,10 @@ class Evaluator:
         Rotation sets larger than ACE_TPU_MAX_BUNDLE (default 5) are
         chunked into separate programs whose mod-downed partials are
         summed — the remote AOT compiler cannot digest a 9-rotation
-        keyswitch bundle at deep L in reasonable time."""
+        keyswitch bundle at deep L in reasonable time. If the remote
+        compiler still dies on a bundle (OOM SIGKILL on a few
+        many-group programs), the except path re-dispatches it split
+        in half — smaller programs always compile."""
         import os
         if not plain_groups or all(all(p is None for p in grp)
                                    for grp in plain_groups):
@@ -630,7 +634,8 @@ class Evaluator:
             for g in dead:
                 total[g] = zero
             return total
-        max_bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE", "5"))
+        max_bundle = _bundle or int(os.environ.get("ACE_TPU_MAX_BUNDLE",
+                                                   "5"))
         if len(rots) > max_bundle:
             total = [None] * len(plain_groups)
             for s in range(0, len(rots), max_bundle):
@@ -671,7 +676,15 @@ class Evaluator:
                            tuple(auto_idxs), pattern, level)
         pls = [p.poly.data for grp in plain_groups for p in grp
                if p is not None]
-        raw = fn(ct.c0.data, ct.c1.data, keys_b, keys_a, pls)
+        try:
+            raw = fn(ct.c0.data, ct.c1.data, keys_b, keys_a, pls)
+        except Exception as e:  # remote compiler OOM on huge programs
+            if len(rots) > 1 and ("remote_compile" in str(e)
+                                  or "RESOURCE_EXHAUSTED" in str(e)):
+                return self.rot_ext_mac_groups_jit(
+                    ct, rots, plain_groups,
+                    _bundle=max(1, (len(rots) + 1) // 2))
+            raise
         outs = []
         for g, (d0, d1) in enumerate(raw):
             pl_scale = next((p.scaling_factor for p in plain_groups[g]
