@@ -148,27 +148,108 @@ class KeyGenerator:
         b = P.add(P.neg(P.mul(a, sk_q, crt), crt), e_q, crt)
         return PublicKey(b, a)
 
+    def _part_scalars(self, part: int) -> list:
+        """P mod q_i inside the part, 0 on other q limbs and on P limbs
+        (Scalars_integer_multiply_poly_qpart)."""
+        crt = self.crt
+        per = crt.per_part_size
+        scalars = []
+        for i, q in enumerate(crt.q_primes):
+            in_part = per * part <= i < min(per * (part + 1), crt.num_q)
+            scalars.append(crt.big_p % q if in_part else 0)
+        scalars.extend(0 for _ in crt.p_primes)
+        return scalars
+
+    def _scaled_new_key(self, new_key: RnsPoly):
+        """[parts, L+K, N] stack of P*Q~_part * new_key — constant
+        across every rotation key (new_key is always the secret key),
+        so computed once and cached by object identity."""
+        cache = getattr(self, "_pk_new_cache", None)
+        if cache is not None and cache[0] is new_key.data:
+            return cache[1]
+        import jax.numpy as jnp
+        stack = jnp.stack([
+            P.mul_scalars(new_key, self._part_scalars(p), self.crt).data
+            for p in range(self.crt.num_q_parts)])
+        self._pk_new_cache = (new_key.data, stack)
+        return stack
+
+    def _swk_fn(self):
+        """One jitted XLA program for ALL switching-key math:
+        b[part] = NTT(e[part]) - a[part] * old + pk_new[part] over the
+        full Q ∪ P basis. Replaces ~10 eager dispatches per part; the
+        sampling stays host-side (CSPRNG), the arithmetic is one
+        cached executable reused by every rotation/relin/conj key."""
+        fn = getattr(self, "_swk_fn_cache", None)
+        if fn is None:
+            crt = self.crt
+            parts = crt.num_q_parts
+            lk = crt.num_q + crt.num_p
+            from ace_tpu.ops import ntt as ntt_ops
+            from ace_tpu.ops import modops
+            from ace_tpu.utils.liftjit import lift_jit
+            import jax.numpy as jnp
+            tables = ntt_ops.gather_tables(crt.ntt_tables, range(lk))
+            q, mu_hi, mu_lo = crt.mod_arrays(range(lk))
+
+            def impl(a, e_signed, old, pk_new):
+                # a, pk_new: [parts, L+K, N]; e_signed: [parts, N] in
+                # {-1,0,1} (RNS-expanded on device); old: [L+K, N]
+                e = jnp.where(e_signed[:, None, :] == -1,
+                              q[None] - jnp.uint64(1),
+                              e_signed[:, None, :].astype(jnp.uint64))
+                e = jnp.broadcast_to(e, (parts, lk, e.shape[-1]))
+                e_ntt = jnp.stack([ntt_ops.fwd(e[i], tables)
+                                   for i in range(parts)])
+                t = modops.barrett_mul_d(a, old[None], q[None],
+                                         mu_hi[None], mu_lo[None])
+                return modops.add_mod(modops.sub_mod(e_ntt, t, q[None]),
+                                      pk_new, q[None])
+
+            fn = lift_jit(impl)
+            self._swk_fn_cache = fn
+        return fn
+
     def _gen_switching_key(self, new_key: RnsPoly,
                            old_key: RnsPoly) -> SwitchKey:
         """b_part = -a*old_key + P*Q~_part*new_key + e (NTT over Q ∪ P)."""
         crt = self.crt
-        per = crt.per_part_size
-        bs, As = [], []
-        for part in range(crt.num_q_parts):
-            a = self._sample_uniform_qp()
-            e = self._small_qp_poly(self._sample_triangle())
-            # scalars: P mod q_i for q_i in this part, 0 on other q limbs,
-            # P mod p_j on the P limbs (Scalars_integer_multiply_poly_qpart)
-            scalars = []
-            for i, q in enumerate(crt.q_primes):
-                in_part = per * part <= i < min(per * (part + 1), crt.num_q)
-                scalars.append(crt.big_p % q if in_part else 0)
-            for p_ in crt.p_primes:
-                scalars.append(0)
-            pk_new = P.mul_scalars(new_key, scalars, crt)
-            b = P.add(P.sub(e, P.mul(a, old_key, crt), crt), pk_new, crt)
-            bs.append(b)
-            As.append(a)
+        if self.mesh is not None:
+            # limb-sharded residency path: per-part eager ops preserve
+            # the put_limb shardings
+            bs, As = [], []
+            for part in range(crt.num_q_parts):
+                a = self._sample_uniform_qp()
+                e = self._small_qp_poly(self._sample_triangle())
+                pk_new = P.mul_scalars(new_key,
+                                       self._part_scalars(part), crt)
+                b = P.add(P.sub(e, P.mul(a, old_key, crt), crt),
+                          pk_new, crt)
+                bs.append(b)
+                As.append(a)
+            return SwitchKey(bs, As)
+
+        import jax.numpy as jnp
+        parts = crt.num_q_parts
+        qp = crt.q_primes + crt.p_primes
+        # draw order matches the eager/mesh path exactly (a then e,
+        # per part) so both paths produce bit-identical keys from the
+        # same seed (tests/test_multichip_eval.py relies on this)
+        a_rows, e_rows = [], []
+        for _ in range(parts):
+            a_rows.append(np.stack([
+                self.rng.integers(0, qq, dtype=np.uint64,
+                                  size=self.params.degree)
+                for qq in qp]))
+            e_rows.append(self._sample_triangle())
+        a_h = np.stack(a_rows)
+        e_h = np.stack(e_rows)
+        b = self._swk_fn()(jnp.asarray(a_h), jnp.asarray(e_h),
+                           old_key.data, self._scaled_new_key(new_key))
+        bs = [RnsPoly(b[i], crt.num_q, crt.num_p, True)
+              for i in range(parts)]
+        As = [RnsPoly(jnp.asarray(a_h[i]), crt.num_q, crt.num_p, True)
+              for i in range(parts)]
         return SwitchKey(bs, As)
 
     def _gen_relin_key(self) -> SwitchKey:
