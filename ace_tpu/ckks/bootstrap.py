@@ -389,8 +389,13 @@ class BootstrapContext:
             ([budget - 1] if flag_rem else [])
         steps = [(s, False) for s in order] + [(s, True) for s in rem_steps]
 
+        from ace_tpu.utils import liftjit as _lj
         first = True
         for s, is_rem in steps:
+            if _lj._TRACE:
+                _lj._tr(f"bts {'C2S' if encoding else 'S2C'} level {s}"
+                        f"{' rem' if is_rem else ''} (ct level "
+                        f"{ct.level})")
             if not first:
                 ct = ev.rescale(ct)
             first = False

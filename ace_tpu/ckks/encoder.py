@@ -210,7 +210,15 @@ class Encoder:
         if hit is not None:
             self._pt_cache[key] = hit
             return hit
-        pt = self.encode(values, level, slots, sf_degree, extended)
+        from ace_tpu.utils import liftjit as _lj
+        if _lj._TRACE:
+            _t0 = __import__("time").perf_counter()
+            pt = self.encode(values, level, slots, sf_degree, extended)
+            _lj._tr(f"encode miss level={level} slots={slots} ext="
+                    f"{extended} ({__import__('time').perf_counter() - _t0:.2f}s, "
+                    f"cache {self._pt_cache_bytes >> 20}MB)")
+        else:
+            pt = self.encode(values, level, slots, sf_degree, extended)
         nb = int(pt.poly.data.size) * 8
         self._pt_cache[key] = pt
         self._pt_cache_bytes += nb

@@ -266,10 +266,17 @@ class KeyGenerator:
         key = self._rot_keys.pop(auto_idx, None)
         if key is None:
             from ace_tpu.runtime.timing import TIMING
+            from ace_tpu.utils import liftjit as _lj
+            import time as _t
+            _t0 = _t.perf_counter()
             with TIMING.tm("RTM_ROT_KEY_REGEN"):
                 gen_idx = nt.mod_inv(auto_idx, 2 * n)
                 rotated = P.automorphism(self.sk.ntt_sk, gen_idx, self.crt)
                 key = self._gen_switching_key(self.sk.ntt_sk, rotated)
+            if _lj._TRACE:
+                _lj._tr(f"rot_key regen rot={rotation} "
+                        f"({_t.perf_counter() - _t0:.2f}s, "
+                        f"held={len(self._rot_keys)})")
             if self.max_rot_keys and len(self._rot_keys) >= self.max_rot_keys:
                 evict = next(iter(self._rot_keys))
                 del self._rot_keys[evict]

@@ -25,8 +25,24 @@ The wrapper exposes `.lower(*abstract_args)` for AOT precompilation
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import jax
 import jax.numpy as jnp
+
+# ACE_TPU_TRACE=1: timestamped line per bundle dispatch (and another
+# when the dispatch call returns) — the tool for localizing remote
+# stalls: the last "dispatch" line without a matching "done" is the
+# call the tunnel is sitting on.
+_TRACE = os.environ.get("ACE_TPU_TRACE", "") not in ("", "0")
+_seq = [0]
+
+
+def _tr(msg: str) -> None:
+    print(f"[trace {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _eval_jaxpr():
@@ -65,11 +81,30 @@ class LiftedJit:
         self._jitted = jax.jit(conv)
 
     def __call__(self, *args):
-        if self._jitted is None:
+        if not _TRACE:
+            if self._jitted is None:
+                self._convert(args)
+            flat, tree = jax.tree.flatten(args)
+            assert tree == self._in_tree, "argument structure changed"
+            return self._jitted(flat, self._consts)
+        _seq[0] += 1
+        n = _seq[0]
+        name = getattr(self._fn, "__qualname__",
+                       getattr(self._fn, "__name__", "?"))
+        fresh = self._jitted is None
+        if fresh:
+            t0 = time.perf_counter()
+            _tr(f"#{n} trace {name}")
             self._convert(args)
+            _tr(f"#{n} traced {name} ({time.perf_counter() - t0:.1f}s)")
         flat, tree = jax.tree.flatten(args)
         assert tree == self._in_tree, "argument structure changed"
-        return self._jitted(flat, self._consts)
+        t0 = time.perf_counter()
+        _tr(f"#{n} dispatch {name}"
+            + (" [first: may compile]" if fresh else ""))
+        out = self._jitted(flat, self._consts)
+        _tr(f"#{n} done {name} ({time.perf_counter() - t0:.1f}s)")
+        return out
 
     def lower(self, *args):
         """AOT lowering; `args` may be ShapeDtypeStructs."""
