@@ -33,9 +33,11 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: CKKS programs compile one XLA executable
 # per (op, level) pair; caching them on disk makes every run after the
-# first start instantly. The default lives INSIDE the repo (committed at
-# milestones) because ~/.cache does not survive machine restores
-# (override dir with ACE_TPU_CACHE_DIR, disable with ACE_TPU_CACHE_DIR="").
+# first start instantly. The default lives inside the repo work tree but
+# is GITIGNORED (compiled binaries are machine-specific; committing them
+# bloats history and risks SIGILL on other hosts). Warm it with
+# ace_tpu.runtime.precompile workers. Override dir with
+# ACE_TPU_CACHE_DIR, disable with ACE_TPU_CACHE_DIR="".
 _cache_dir = os.environ.get(
     "ACE_TPU_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

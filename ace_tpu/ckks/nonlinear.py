@@ -55,6 +55,10 @@ def reciprocal(ev, ct, x_max: float, iters: int = 3):
     Depth: 2 per iteration + 1. Relative error <= e_0^(2^(iters+1)),
     so accuracy is set by how far x/x_max stays above 0.
     """
+    if iters < 1:
+        raise ValueError(
+            "reciprocal needs iters >= 1: the 1/x_max fold happens in "
+            "the last iteration, so iters=0 would return ~x_max/x")
     inv_max = 1.0 / x_max
     t_neg = ev.mul_const(ct, -inv_max)          # -t
     t_neg = ev.rescale(t_neg)

@@ -115,8 +115,20 @@ def encrypted_attention(ev, enc, ct_x, weights, seq: int, d: int, *,
     |q.k/sqrt(d)| for the exp — both are data ranges the caller
     certifies, exactly like the reference's -SIHE:relu_vr value-range
     contract (sihe/src/config.cxx:24-26).
+
+    Packing constraints: seq <= d (score column c of row r lives at
+    slot r*d + c, so columns must fit inside a row block) and
+    seq * d == N/2 (one ciphertext holds the whole [seq, d] tensor).
     """
     total = seq * d
+    if seq > d:
+        raise ValueError(
+            f"encrypted_attention requires seq <= d (got seq={seq}, "
+            f"d={d}): score columns would spill into the next row block")
+    if total != ev.params.degree // 2:
+        raise ValueError(
+            f"encrypted_attention requires seq*d == N/2 "
+            f"(got {seq}*{d}={total}, N/2={ev.params.degree // 2})")
 
     # -- RMSNorm: x * rsqrt(mean(x^2) + eps) * g ------------------------
     sq = ev.rescale(ev.square(ct_x))
@@ -164,10 +176,19 @@ def encrypted_attention(ev, enc, ct_x, weights, seq: int, d: int, *,
     den = NL.block_sum_replicated(ev, es, d, total, enc)
     lo, hi = den_range or (seq * np.exp(-score_bound),
                            seq * np.exp(score_bound))
+    if not (0 < lo < hi):
+        raise ValueError(f"den_range must satisfy 0 < lo < hi, got "
+                         f"({lo}, {hi})")
     # Goldschmidt error <= (1 - lo/hi)^(2^(iters+1)); pick iters for 1e-4
     e0 = 1.0 - lo / hi
     iters = max(1, int(np.ceil(np.log2(np.log(1e-4) / np.log(e0)))) - 1) \
         if e0 > 0 else 1
+    if iters > 6:
+        raise ValueError(
+            f"den_range ({lo:.3g}, {hi:.3g}) needs {iters} Goldschmidt "
+            f"iterations (~{2 * iters + 1} levels) — an unusable depth. "
+            f"Tighten den_range/score_bound (default bounds at "
+            f"score_bound>=2 are far too loose; pass a measured range).")
     inv = NL.reciprocal(ev, den, hi, iters=iters)
     probs = ev.rescale(ev.mul(es, inv))
 

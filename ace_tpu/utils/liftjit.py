@@ -67,15 +67,54 @@ class LiftedJit:
             self._fn, return_shape=True)(*args)
         self._out_tree = jax.tree.structure(out_shape)
         _, self._in_tree = jax.tree.flatten(args)
-        # device-put consts once; they are shared tables, so repeated
-        # conversions reuse the same underlying buffers
-        self._consts = [jnp.asarray(c) for c in closed.consts]
         jaxpr = closed.jaxpr
+        # Canonicalize the lifted-const argument order. The order of
+        # `closed.consts` is trace-HISTORY-dependent: jax's global
+        # small-constant caches make the first trace in a fresh process
+        # collect consts in a different order than the same trace in a
+        # warmed process. That permutes the wrapper's HLO parameter
+        # list, so the SAME program hashes to a different persistent-
+        # cache key in the precompile workers than in the live run —
+        # every AOT-compiled program missed at run time (round-3 bug).
+        # Fix: reorder consts by first use in the jaxpr body, which IS
+        # identical across traces of the same function (the eqn list is
+        # trace-deterministic), so the lowered module is bit-identical
+        # in every process. No value-based dedup: reading const VALUES
+        # would block on device->host fetches through the tunnel, and
+        # trace-level id-dedup is already history-stable (verified:
+        # fresh and warmed traces produce the same const count).
+        pos_of = {id(v): i for i, v in enumerate(jaxpr.constvars)}
+        try:
+            lit = jax.core.Literal
+        except AttributeError:  # moved across jax versions
+            from jax.extend.core import Literal as lit
+        order = []
+        seen = set()
+
+        def visit(v):
+            if (not isinstance(v, lit) and id(v) in pos_of
+                    and id(v) not in seen):
+                seen.add(id(v))
+                order.append(v)
+
+        for eqn in jaxpr.eqns:
+            for v in eqn.invars:
+                visit(v)
+        for v in jaxpr.outvars:
+            visit(v)
+        for v in jaxpr.constvars:  # unused consts (rare) keep tail order
+            visit(v)
+
+        slot_of = {id(v): i for i, v in enumerate(order)}
+        # device-put once; shared tables reuse the same buffers
+        uniq = [jnp.asarray(closed.consts[pos_of[id(v)]]) for v in order]
+        binding = [slot_of[id(v)] for v in jaxpr.constvars]
+        self._consts = uniq
         ev = _eval_jaxpr()
         out_tree = self._out_tree
 
         def conv(flat_args, consts):
-            outs = ev(jaxpr, consts, *flat_args)
+            outs = ev(jaxpr, [consts[i] for i in binding], *flat_args)
             return jax.tree.unflatten(out_tree, outs)
 
         self._jitted = jax.jit(conv)

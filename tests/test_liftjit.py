@@ -101,6 +101,36 @@ def test_consts_are_parameters_not_literals():
         f"HLO embeds the table as a literal ({len(txt)} chars)"
 
 
+def test_const_order_is_history_independent():
+    # Round-3 regression: make_jaxpr collects closure consts in a
+    # trace-HISTORY-dependent order (jax's global small-constant caches
+    # reorder them between a fresh and a warmed process), which used to
+    # permute the wrapper's HLO parameters and change its persistent-
+    # cache key — AOT-precompiled programs missed at run time. liftjit
+    # now reorders consts by first use in the jaxpr body, so the same
+    # builder lowers to bit-identical HLO no matter what was traced
+    # before it in the process. Simulate "histories" by warming jax's
+    # caches with unrelated traces between two conversions.
+    def mk():
+        big = np.arange(4096, dtype=np.uint64)
+
+        def fn(x):
+            y = (x + jnp.asarray(big)) % jnp.uint64(97)
+            y = jnp.roll(y, 3) ^ (y >> jnp.uint64(2))
+            return y + jnp.asarray(np.uint64(5))
+        return fn
+
+    s = jax.ShapeDtypeStruct((4096,), np.uint64)
+    t1 = lift_jit(mk()).lower(s).as_text()
+    # unrelated traces to perturb jax's global constant caches
+    jax.make_jaxpr(lambda x: jnp.roll(x, 3) + jnp.uint64(5))(
+        jnp.zeros(16, jnp.uint64))
+    jax.make_jaxpr(lambda x: (x >> jnp.uint64(2)) % jnp.uint64(97))(
+        jnp.zeros(16, jnp.uint64))
+    t2 = lift_jit(mk()).lower(s).as_text()
+    assert t1 == t2
+
+
 def test_executable_dedup_across_const_values():
     # two instances differing ONLY in const values produce identical
     # HLO text -> one persistent-cache executable (rotation-index dedup)
