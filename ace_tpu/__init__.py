@@ -47,4 +47,10 @@ if _cache_dir:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# Pallas kernels must serialize location-free or the persistent cache
+# keys depend on the trace call site (see utils/mosaic_canon.py).
+from ace_tpu.utils import mosaic_canon as _mosaic_canon
+
+_mosaic_canon.install()
+
 __version__ = "0.1.0"
