@@ -50,7 +50,39 @@ SIGN_CHEBYSHEV_DEPTH13 = [
      0.0, 1.235599278444410819e-07, 0.0, -2.723078631019510824e-09],
 ]
 
-SIGN_TABLES = {11: SIGN_CHEBYSHEV_DEPTH11, 13: SIGN_CHEBYSHEV_DEPTH13}
+# fhe-cmplr/util/src/app_composite_poly.cxx:24-45 (depth 9, alfa 5):
+# the reference's POWER-basis pair (degrees 15 and 29). We evaluate in
+# the Chebyshev basis (numerically better conditioned on [-1,1]; the
+# conversion poly2cheb is an exact linear basis change), which keeps
+# one BSGS evaluator for every depth. PS depth: ceil(log2(15))=4 +
+# ceil(log2(29))=5 -> 9 mul levels, the reference's relu_depth=9 that
+# build_resnet20_cifar10.sh selects for all ResNets.
+SIGN_POWER_DEPTH9 = [
+    [0., 16.991912801003051892923261, 0., -394.30462944608592454353314,
+     0., 3732.9438341250469929346644, 0., -16694.033300999042855833984,
+     0., 39329.431040775967515596684, 0., -50248.794119518568012111608,
+     0., 32926.27463357162420222774, 0., -8667.9902964915960941020499],
+    [0., 4.9658644770032308652625025, 0., -29.448884583925814589495991,
+     0., 139.78371088903676355969164, 0., -465.9336214215280025199331,
+     0., 1115.8611769977060195196749, 0., -1965.3906607101910315340303,
+     0., 2585.8860916290664168457066, 0., -2562.0785113031476588750824,
+     0., 1913.2925184471942343973977, 0., -1069.5452820334728267866371,
+     0., 440.19390573542399694605194, 0., -129.32576670397024386464789,
+     0., 25.645293406943162690472632, 0., -3.0739777273880675957413278,
+     0., 0.16814265087412611753805143],
+]
+
+
+def _pow2cheb(tables):
+    import numpy as _np
+    from numpy.polynomial import chebyshev as _C
+    return [list(_C.poly2cheb(_np.asarray(t, dtype=_np.float64)))
+            for t in tables]
+
+
+SIGN_TABLES = {9: _pow2cheb(SIGN_POWER_DEPTH9),
+               11: SIGN_CHEBYSHEV_DEPTH11,
+               13: SIGN_CHEBYSHEV_DEPTH13}
 
 
 def sign_composite(ev, ct: Ciphertext, mul_depth: int = 13,

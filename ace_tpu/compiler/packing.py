@@ -350,15 +350,16 @@ def conv2d(be, x, weight: np.ndarray, bias: np.ndarray, h: int, w: int,
         acc = _conv2d_fast(be, x, weight, h, w)
     else:
         acc = _conv2d_taps(be, x, weight, h, w)
-    bias_vec = np.repeat(bias, hw)
     if stride > 1:
-        mask = stride_mask(h, w, stride)
-        bias_vec = bias_vec * np.tile(mask, c_out)
-        acc = be.mul_plain(acc, np.tile(mask, c_out))
-        acc = be.add_plain(acc, bias_vec)
+        # No stride premask: compact_strided's gather masks select
+        # exactly the stride-valid source slots, so masking first would
+        # spend a level to zero slots the gather never reads. Bias is
+        # added on the dense compacted layout.
         acc = compact_strided(be, acc, c_out, h, w, stride)
+        ohw = (h // stride) * (w // stride)
+        acc = be.add_plain(acc, np.repeat(bias, ohw))
     else:
-        acc = be.add_plain(acc, bias_vec)
+        acc = be.add_plain(acc, np.repeat(bias, hw))
     return acc
 
 
@@ -476,27 +477,29 @@ def compact_strided(be, x, c: int, h: int, w: int, stride: int):
     """Compact stride-masked [c, h, w] (valid at multiples of stride)
     into dense [c, h/s, w/s].
 
-    Multi-pass gather with one rotation per distinct shift: columns
-    (ow rotations), rows (oh), rows-tight (oh), channels (c). Same
-    capability as the reference's Combine_cross_row/rc/channel
-    (tensor2vector_util.cxx:1112-1164), own schedule.
+    Three gather levels, one hoisted rotation per distinct shift:
+      1. columns  j*s -> j inside every strided row       (ow deltas)
+      2. rows     i*s*w -> i*ow, fused row-select + row-tighten: the
+         shift i*(s*w - ow) is column-independent, so the former
+         separate rows and rows-tight passes collapse into one (saves
+         a whole mul level on every downsample segment)
+      3. channels ch*hw -> ch*oh*ow                       (c deltas)
+    Same capability as the reference's Combine_cross_row/rc/channel
+    (tensor2vector_util.cxx:1112-1164), own (shallower) schedule.
     """
     s = stride
     oh, ow = h // s, w // s
     hw = h * w
-    # pass 1: cols j*s -> j within every row of every channel
+    # pass 1: cols j*s -> j within every strided row of every channel
     pairs = [(ch * hw + r * w + j * s, ch * hw + r * w + j)
              for ch in range(c) for r in range(0, h, s) for j in range(ow)]
     x = gather_by_delta(be, x, pairs)
-    # pass 2: rows i*s -> i (rows still width w, ow valid)
-    pairs = [(ch * hw + i * s * w + j, ch * hw + i * w + j)
+    # pass 2: rows i*s (width w) -> tight rows i*ow in one shift:
+    # delta = i*(s*w - ow) for every column j < ow
+    pairs = [(ch * hw + i * s * w + j, ch * hw + i * ow + j)
              for ch in range(c) for i in range(oh) for j in range(ow)]
     x = gather_by_delta(be, x, pairs)
-    # pass 3a: rows tight within channel (offset i*w -> i*ow)
-    pairs = [(ch * hw + i * w + j, ch * hw + i * ow + j)
-             for ch in range(c) for i in range(oh) for j in range(ow)]
-    x = gather_by_delta(be, x, pairs)
-    # pass 3b: channels tight (block ch*hw -> ch*oh*ow)
+    # pass 3: channels tight (block ch*hw -> ch*oh*ow)
     blk = oh * ow
     pairs = [(ch * hw + t, ch * blk + t)
              for ch in range(c) for t in range(blk)]

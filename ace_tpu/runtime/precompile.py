@@ -22,7 +22,7 @@ serial compile wall:
 
 Usage:
   python -m ace_tpu.runtime.precompile inventory --model resnet20_cifar10 \
-      --out inv.jsonl [--relu-depth 13] ...
+      --out inv.jsonl [--relu-depth 9] ...
   python -m ace_tpu.runtime.precompile worker --inventory inv.jsonl \
       --shard 0 --num-shards 6
 """
@@ -110,11 +110,16 @@ def run_inventory(args):
     from ace_tpu.compiler.scheme_info import SchemeConfig
 
     g = M.load_model(args.model)
+    from ace_tpu.compiler.relu_ranges import ranges_for
+    vr_default, vr = ranges_for(args.model)
+    if args.relu_range:
+        vr_default, vr = args.relu_range, {}
     cfg = SchemeConfig(security_level=0,
                        hamming_weight=args.hamming_weight,
                        first_mod_size=60, scaling_mod_size=56,
                        relu_mul_depth=args.relu_depth,
-                       relu_value_range=args.relu_range,
+                       relu_value_range=vr_default,
+                       relu_ranges=vr,
                        use_bootstrap=any(op.op_type == "Relu"
                                          for op in g.ops))
     records: list = []
@@ -233,8 +238,8 @@ def main():
     inv.add_argument("--model", default="resnet20_cifar10")
     inv.add_argument("--out", required=True)
     inv.add_argument("--hamming-weight", type=int, default=192)
-    inv.add_argument("--relu-depth", type=int, default=13)
-    inv.add_argument("--relu-range", type=float, default=16.0)
+    inv.add_argument("--relu-depth", type=int, default=9)
+    inv.add_argument("--relu-range", type=float, default=0.0)
     wk = sub.add_parser("worker")
     wk.add_argument("--inventory", required=True)
     wk.add_argument("--shard", type=int, required=True)

@@ -35,8 +35,13 @@ def main():
     ap.add_argument("--images", type=int, default=1)
     ap.add_argument("--cifar", default="", help="CIFAR batch .bin path")
     ap.add_argument("--hamming-weight", type=int, default=192)
-    ap.add_argument("--relu-depth", type=int, default=13)
-    ap.add_argument("--relu-range", type=float, default=16.0)
+    ap.add_argument("--relu-depth", type=int, default=9,
+                    help="composite sign depth (reference default 9 via "
+                         "build_resnet*.sh; 11/13 for wider margins)")
+    ap.add_argument("--relu-range", type=float, default=0.0,
+                    help="uniform ReLU input range override; 0 = the "
+                         "reference's per-ReLU tuned ranges "
+                         "(compiler/relu_ranges.py)")
     ap.add_argument("--mul-level", type=int, default=0,
                     help="force the q-chain length (e.g. run a truncated "
                          "graph at full-model params so compiled programs "
@@ -66,11 +71,16 @@ def main():
         g.ops = g.ops[:args.layers]
         g.output_name = g.ops[-1].outputs[0]
 
+    from ace_tpu.compiler.relu_ranges import ranges_for
+    vr_default, vr = ranges_for(args.model)
+    if args.relu_range:
+        vr_default, vr = args.relu_range, {}
     cfg = SchemeConfig(security_level=0,
                        hamming_weight=args.hamming_weight,
                        first_mod_size=60, scaling_mod_size=56,
                        relu_mul_depth=args.relu_depth,
-                       relu_value_range=args.relu_range,
+                       relu_value_range=vr_default,
+                       relu_ranges=vr,
                        use_bootstrap=any(op.op_type == "Relu"
                                          for op in g.ops))
     t0 = time.time()

@@ -24,7 +24,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 DEFAULT_MODELS = ("resnet20_cifar10,resnet32_cifar10,resnet32_cifar100,"
-                  "resnet44_cifar10,resnet56_cifar10")
+                  "resnet44_cifar10,resnet56_cifar10,resnet110_cifar10")
 
 
 def main():
@@ -33,8 +33,9 @@ def main():
     ap.add_argument("--images", type=int, default=1)
     ap.add_argument("--out-dir", default=os.path.join(ROOT, "results"))
     ap.add_argument("--max-rot-keys", type=int, default=90)
-    ap.add_argument("--relu-depth", type=int, default=13)
-    ap.add_argument("--relu-range", type=float, default=16.0)
+    ap.add_argument("--relu-depth", type=int, default=9)
+    ap.add_argument("--relu-range", type=float, default=0.0,
+                    help="0 = the reference's per-model tuned ranges")
     args = ap.parse_args()
 
     os.environ.setdefault("RTLIB_TIMING_OUTPUT", "1")
@@ -48,30 +49,49 @@ def main():
     names = [n for n in args.models.split(",") if n]
     print(f"# backend={jax.default_backend()} models={names}",
           file=sys.stderr, flush=True)
-    cfg = SchemeConfig(security_level=0, hamming_weight=192,
-                       first_mod_size=60, scaling_mod_size=56,
-                       relu_mul_depth=args.relu_depth,
-                       relu_value_range=args.relu_range,
-                       use_bootstrap=True)
+    from ace_tpu.compiler.relu_ranges import ranges_for
+
+    def cfg_for(model):
+        vr_default, vr = ranges_for(model)
+        if args.relu_range:
+            vr_default, vr = args.relu_range, {}
+        return SchemeConfig(security_level=0, hamming_weight=192,
+                            first_mod_size=60, scaling_mod_size=56,
+                            relu_mul_depth=args.relu_depth,
+                            relu_value_range=vr_default,
+                            relu_ranges=vr,
+                            use_bootstrap=True)
     ctx = None
     os.makedirs(args.out_dir, exist_ok=True)
+    # One context serves every model: size it to the max (N, L) over
+    # the zoo (per-model tuned relu ranges can shift L by a level or
+    # two between models; running a shallower model on a longer chain
+    # is exact, just marginally more headroom than it needs).
+    infos = {}
+    for name in names:
+        infos[name] = select_params(M.load_model(name), cfg_for(name))
+    shared = max(infos.values(),
+                 key=lambda i: (i.poly_degree, i.mul_level))
+    import dataclasses as _dc
+    shared = _dc.replace(shared, rotate_indices=())
     for name in names:
         g = M.load_model(name)
         classes = 100 if "cifar100" in name else 10
-        info = select_params(g, cfg)
+        cfg = cfg_for(name)
+        info = infos[name]
         sec = security_posture(info)
         if ctx is None:
             t0 = time.time()
-            ctx = FheContext(scheme_info=info,
+            ctx = FheContext(scheme_info=shared,
                              max_rot_keys=args.max_rot_keys)
             print(f"# shared context N=2^"
-                  f"{info.poly_degree.bit_length() - 1} L={info.mul_level}"
+                  f"{shared.poly_degree.bit_length() - 1}"
+                  f" L={shared.mul_level}"
                   f" ({time.time() - t0:.0f}s)", file=sys.stderr,
                   flush=True)
-        else:
-            assert (info.poly_degree == ctx.params.degree
-                    and info.mul_level + 1 == ctx.params.num_q), \
-                f"{name} params differ from the shared context"
+        assert (info.poly_degree == shared.poly_degree
+                and info.mul_level <= shared.mul_level), \
+            f"{name} params exceed the shared context"
         model = M.compile_model(
             g, cfg, ctx=ctx, num_classes=classes,
             trace=lambda m, _n=name: print(f"# [{_n}] {m}",

