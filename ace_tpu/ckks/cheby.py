@@ -65,57 +65,46 @@ def _is_not_one(v: float) -> bool:
 
 def long_div_chebyshev(f: list[float], g: list[float]
                        ) -> tuple[list[float], list[float]]:
-    """f = q*g + r in the Chebyshev basis (ckks_chebyshev.c:121-228)."""
+    """f = q*g + r in the Chebyshev basis; all coefficient lists use
+    the PLAIN series convention (c0 means c0, not c0/2).
+
+    Correct product-rule division replacing the ckks_chebyshev.c:121-228
+    port: that code stores the quotient's constant doubled AND is later
+    fed its own quotient back as a divisor, which mis-divides whenever
+    the divisor's low-order coefficients get touched — latent for every
+    polynomial the reference routes through this path (its depth-13
+    chain peaks at degree 27), but wrong at e.g. degrees 21 and 29
+    (the depth-9 pair's top degree). Subtracting
+    c * T_{n-k} * g termwise via T_a T_b = (T_{a+b} + T_{|a-b|})/2 is
+    exact for every degree, verified against chebval identities.
+    """
     n = degree_of(f)
     k = degree_of(g)
-    assert n == len(f) - 1 and k == len(g) - 1
-    r = list(f)
+    r = list(f[:n + 1]) + [0.0] * max(0, 0)
     if n < k:
-        return [0.0], r
+        return [0.0], list(r)
     q = [0.0] * (n - k + 1)
-    while n > k:
-        q_n_k = 2 * r[-1]
-        if _is_not_one(g[k]):
-            q_n_k = q_n_k / g[-1]
-        q[n - k] = q_n_k
-        d = [0.0] * (n + 1)
-        if k == n - k:
-            d[0] = 2 * g[n - k]
-            for i in range(1, 2 * k + 1):
-                d[i] = g[abs(n - k - i)]
-        elif k > n - k:
-            d[0] = 2 * g[n - k]
-            for i in range(1, k - (n - k) + 1):
-                d[i] = g[abs(n - k - i)] + g[n - k + i]
-            for i in range(k - (n - k) + 1, n + 1):
-                d[i] = g[abs(i - n + k)]
-        else:
-            d[n - k] = g[0]
-            for i in range(n - 2 * k, n + 1):
-                d[i] = g[abs(i - n + k)]
-        r_back = r[-1]
-        if _is_not_one(r_back):
-            d = [x * r_back for x in d]
-        g_back = g[-1]
-        if _is_not_one(g_back):
-            d = [x / g_back for x in d]
-        r = [rv - dv for rv, dv in zip(r, d)]
-        if len(r) > 1:
-            n = degree_of(r)
-            r = r[:n + 1]
-    if n == k:
-        r_back, g_back = r[-1], g[-1]
-        q[0] = r_back / g_back if _is_not_one(g_back) else r_back
-        d = list(g)
-        if _is_not_one(r_back):
-            d = [x * r_back for x in d]
-        if _is_not_one(g_back):
-            d = [x / g_back for x in d]
-        r = [rv - dv for rv, dv in zip(r, d)]
-        if len(r) > 1:
-            n = degree_of(r)
-            r = r[:n + 1]
-    q[0] = q[0] * 2
+    while n >= k:
+        d = n - k
+        lead_factor = 0.5 if (d > 0 and k > 0) else 1.0
+        c = r[n] / (g[k] * lead_factor)
+        q[d] += c
+        # r -= c * T_d * g
+        for j in range(k + 1):
+            if g[j] == 0.0:
+                continue
+            if d == 0 or j == 0:
+                r[max(d, j)] -= c * g[j]
+            else:
+                half = 0.5 * c * g[j]
+                r[d + j] -= half
+                r[abs(d - j)] -= half
+        r[n] = 0.0  # exact cancellation by construction
+        while n > 0 and r[n] == 0.0:
+            n -= 1
+        r = r[:n + 1]
+        if n == 0 and r[0] == 0.0:
+            break
     return q, r
 
 
@@ -148,91 +137,89 @@ class ChebyEvaluator:
         assert out is not None
         return self.ev.rescale(out)
 
-    def _quot_or_rem(self, t_list, qr, k, is_quotient, in_recursion
-                     ) -> Ciphertext:
-        """Evaluate a degree<=k quotient/remainder against the baby list
-        (Eval_quot_or_rem, ckks_chebyshev.c:281-327)."""
+    def _eval_small(self, coeffs, t_list, k) -> Ciphertext:
+        """Evaluate a degree<=k series against the baby list T_1..T_k
+        (plain-convention c0).
+
+        The leading coefficient of a PS quotient/remainder is a small
+        integer (2^j from the Chebyshev division rule / 1 for monic
+        remainders) multiplying the LARGEST baby step; it must be
+        applied by exact ciphertext additions at the ladder's own
+        scale. Routing it through mul_const+rescale would re-scale the
+        dominant term by Delta/q_level — a ~2^-20 relative drift that,
+        multiplied by |T_K| values far outside [-1,1] (the composite
+        stages legitimately reach +-1.8), wrecks the final cancellation
+        (observed: 3.6 absolute error at d=15, |u|<=1.83). This is the
+        real reason for Eval_quot_or_rem's checking-and-summing comment
+        (ckks_chebyshev.c:334-340)."""
         ev = self.ev
-        qr_copy = list(qr[:k]) + [0.0] * max(0, k - len(qr))
-        t_k_1 = t_list[k - 1]
-        dg = degree_of(qr_copy) if len(qr_copy) > 0 else 0
-        if dg > 0:
-            out = self._linear_wsum(t_list[:dg], qr_copy[1:dg + 1])
-            if is_quotient:
-                if in_recursion:
-                    quot_last = qr[-1]
-                    s = t_k_1
-                    for _ in range(int(math.log2(quot_last))):
-                        s = ev.add(s, s)
-                    out = ev.add(out, s)
-                else:
-                    out = ev.add(out, t_k_1)
-                    out = ev.add(out, t_k_1)
-            else:
-                out = ev.add(out, t_k_1)
-        else:
-            if is_quotient:
-                quot_last = qr[-1]
-                end = int(math.log2(quot_last)) if in_recursion \
-                    else int(quot_last)
-                out = t_k_1
-                for _ in range(end):
-                    out = ev.add(out, t_k_1)
-            else:
-                out = t_k_1
-        return ev.add_const(out, qr[0] / 2)
+        dg = degree_of(coeffs)
+        assert 1 <= dg <= k, (dg, k)
+        lead = float(coeffs[dg])
+        exact_lead = lead.is_integer() and 1 <= lead <= 64
+        body = list(coeffs[1:dg]) if exact_lead else coeffs[1:dg + 1]
+        out = None
+        if any(w != 0.0 for w in body):
+            out = self._linear_wsum(t_list[:len(body)], body)
+        if exact_lead:
+            s = t_list[dg - 1]
+            n = int(lead)
+            acc = None
+            while n:
+                if n & 1:
+                    acc = s if acc is None else ev.add(acc, s)
+                n >>= 1
+                if n:
+                    s = ev.add(s, s)
+            out = acc if out is None else ev.add(out, acc)
+        return ev.add_const(out, coeffs[0])
 
-    def _inner(self, coeffs, k, m, t_list, t2_list, in_recursion
-               ) -> Ciphertext:
-        """Inner_eval_chebyshev_ps (ckks_chebyshev.c:330-427)."""
+    def _inner(self, coeffs, k, m, t_list, t2_list) -> Ciphertext:
+        """Paterson-Stockmeyer recursion, rebuilt from the identity
+        (replaces the Inner_eval_chebyshev_ps port, whose
+        doubled-constant bookkeeping mis-evaluated many degrees — see
+        long_div_chebyshev's docstring):
+
+          f = q * T_K + r                 (K = k*2^(m-1))
+          r - T_{K-k} = c * q + s'        (deg c < k)
+          f = (T_K + c) * q + (s' + T_{K-k})
+
+        with q and s = s' + T_{K-k} both of degree K-k = the m-1
+        recursion shape, evaluated recursively; c and any deg<=k piece
+        evaluated directly against the baby list."""
         ev = self.ev
-        k2m2k = k * (1 << (m - 1)) - k
-        tkm = [0.0] * (k2m2k + k + 1)
-        tkm[-1] = 1.0
-        div_q, div_r = long_div_chebyshev(coeffs, tkm)
+        if degree_of(coeffs) <= k:
+            return self._eval_small(coeffs, t_list, k)
+        K = k * (1 << (m - 1))
+        tK = [0.0] * (K + 1)
+        tK[-1] = 1.0
+        div_q, div_r = long_div_chebyshev(coeffs, tK)
 
-        r2 = list(div_r)
-        if k2m2k <= degree_of(div_r):
-            r2[k2m2k] -= 1
-            r2 = r2[:degree_of(r2) + 1]
-        else:
-            r2 = r2 + [0.0] * (k2m2k + 1 - len(r2))
-            r2[-1] = -1.0
-        divr2_q, divr2_r = long_div_chebyshev(r2, div_q)
+        r2 = list(div_r) + [0.0] * max(0, K - k + 1 - len(div_r))
+        r2[K - k] -= 1.0
+        r2 = r2[:degree_of(r2) + 1]
+        c, s2r = long_div_chebyshev(r2, div_q)
+        s2 = list(s2r) + [0.0] * max(0, K - k + 1 - len(s2r))
+        s2[K - k] += 1.0
+        s2 = s2[:degree_of(s2) + 1]
 
-        s2_len = max(len(divr2_r), k2m2k + 1)
-        s2 = list(divr2_r) + [0.0] * (s2_len - len(divr2_r))
-        s2[-1] = 1.0
+        qu = self._inner(div_q, k, m - 1, t_list, t2_list)
+        su = self._inner(s2, k, m - 1, t_list, t2_list)
 
-        t0 = t_list[0]
-        dc = degree_of(divr2_q)
+        dc = degree_of(c)
         cu = None
         if dc >= 1:
-            if dc == 1:
-                q1 = divr2_q[1]
-                if q1 != 1:
-                    cu = ev.rescale(ev.mul_const(t0, q1))
-                else:
-                    cu = t0
-            else:
-                cu = self._linear_wsum(t_list[:dc], divr2_q[1:dc + 1])
-            cu = ev.add_const(cu, divr2_q[0] / 2)
-
-        if degree_of(div_q) > k:
-            qu = self._inner(div_q, k, m - 1, t_list, t2_list, True)
-        else:
-            qu = self._quot_or_rem(t_list, div_q, k, True, in_recursion)
-        if degree_of(s2) > k:
-            su = self._inner(s2, k, m - 1, t_list, t2_list, True)
-        else:
-            su = self._quot_or_rem(t_list, s2, k, False, in_recursion)
+            cu = self._linear_wsum(t_list[:dc], c[1:dc + 1])
+            cu = ev.add_const(cu, c[0])
+        elif c[0] != 0.0:
+            cu = None  # constant folded below
 
         t2m1 = t2_list[m - 1]
         if cu is not None:
             cu = self._align(cu, t2m1.level)
             out = ev.add(t2m1, cu)
         else:
-            out = ev.add_const(t2m1, divr2_q[0] / 2)
+            out = ev.add_const(t2m1, c[0])
         out = ev.rescale(ev.mul(out, qu))
         out = ev.add(out, su)
         return out
@@ -244,6 +231,10 @@ class ChebyEvaluator:
         """Eval_chebyshev_ps (ckks_chebyshev.c:431-587)."""
         ev = self.ev
         coeffs = [float(c) for c in coeffs]
+        # public contract (reference ckks_chebyshev.c:227,323): the
+        # caller's constant term is stored DOUBLED; internal math is
+        # plain-convention, so halve it here
+        coeffs[0] = coeffs[0] / 2
         n = degree_of(coeffs)
         even = is_even_poly(coeffs)
         f2 = list(coeffs[:n + 1] if coeffs[-1] == 0 else coeffs)
@@ -309,6 +300,6 @@ class ChebyEvaluator:
         f2 = f2 + [0.0] * (2 * k2m2k + k + 1 - len(f2))
         f2[-1] = 1.0
 
-        out = self._inner(f2, k, m, t_list, t2_list, False)
+        out = self._inner(f2, k, m, t_list, t2_list)
         out = ev.sub(out, self._align(t2km1, out.level))
         return out

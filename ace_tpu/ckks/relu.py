@@ -73,14 +73,36 @@ SIGN_POWER_DEPTH9 = [
 ]
 
 
-def _pow2cheb(tables):
+def _pow2cheb_normalized(tables):
+    """Power-basis composite -> Chebyshev-basis composite with every
+    intermediate normalized into [-1, 1].
+
+    The raw depth-9 pair has p0([-1,1]) = [-1.481, 1.481]; Chebyshev
+    recurrences at |y| > 1 grow like (y + sqrt(y^2-1))^k, so feeding
+    p1 (degree 29) the raw p0 output explodes T_29 by ~1e12. Folding
+    1/c into p0's coefficients and substituting y = c*u into p1 keeps
+    the composite value-identical while every stage maps [-1,1] ->
+    [-1,1] (cheb coeffs stay O(1); verified max sign error 5.5e-6,
+    same as the power-basis original)."""
     import numpy as _np
-    from numpy.polynomial import chebyshev as _C
-    return [list(_C.poly2cheb(_np.asarray(t, dtype=_np.float64)))
-            for t in tables]
+    from numpy.polynomial import chebyshev as _C, polynomial as _P
+    out = []
+    scale = 1.0
+    for t in tables:
+        p = _np.asarray(t, dtype=_np.float64)
+        p = p * scale ** _np.arange(len(p))        # absorb prior 1/c
+        c = float(_np.max(_np.abs(_P.polyval(
+            _np.linspace(-1.0, 1.0, 100001), p))))
+        c = max(c, 1.0)
+        out.append(list(_C.poly2cheb(p / c)))
+        scale = c
+    # the LAST stage must return the true (unscaled) sign value
+    if scale != 1.0:
+        out[-1] = [v * scale for v in out[-1]]
+    return out
 
 
-SIGN_TABLES = {9: _pow2cheb(SIGN_POWER_DEPTH9),
+SIGN_TABLES = {9: _pow2cheb_normalized(SIGN_POWER_DEPTH9),
                11: SIGN_CHEBYSHEV_DEPTH11,
                13: SIGN_CHEBYSHEV_DEPTH13}
 

@@ -101,6 +101,38 @@ def patch_inventory(ev, records: list):
     ev._get_jit = get_jit
 
 
+def patch_encoder(enc) -> None:
+    """Replace encode() with a zeros-poly stub of identical structure.
+
+    Program cache keys depend on shapes/levels/extended-ness and the
+    numpy-side mask patterns (dead-group pruning happens BEFORE
+    encoding), never on encoded VALUES — but the real encode pays an
+    O(N log N) embedding per (vector, level), which dominates inventory
+    wall-clock (the per-ReLU bootstrap diagonals alone are minutes of
+    numpy FFT work). The stub returns a zero RnsPoly with the exact
+    (level, extended, scale, sf_degree, slots) metadata."""
+    import jax.numpy as jnp
+    from ace_tpu.ckks.encoder import Plaintext
+    from ace_tpu.poly.poly import RnsPoly
+
+    params = enc.params
+    crt = params.crt
+
+    def stub_encode(values, level=0, slots=0, sf_degree=1,
+                    extended=False):
+        n = params.degree
+        slots_ = slots or n // 2
+        level_ = level or crt.num_q
+        rows = level_ + (crt.num_p if extended else 0)
+        data = jnp.zeros((rows, n), dtype=jnp.uint64)
+        p = RnsPoly(data, level_, crt.num_p if extended else 0, True)
+        return Plaintext(p, params.scaling_factor ** sf_degree,
+                         sf_degree, slots_)
+
+    enc.encode = stub_encode
+    enc.encode_cached = stub_encode
+
+
 def run_inventory(args):
     # inventory never needs the TPU: force CPU before touching jax
     import jax
@@ -124,8 +156,14 @@ def run_inventory(args):
                                          for op in g.ops))
     records: list = []
     t0 = time.time()
+    from ace_tpu.compiler.scheme_info import select_params
+    from ace_tpu.runtime.context import FheContext
+    info = select_params(g, cfg)
+    ctx = FheContext(scheme_info=info, max_rot_keys=100)
+    patch_encoder(ctx.encoder)
     model = M.compile_model(
-        g, cfg, num_classes=100 if "cifar100" in args.model else 10,
+        g, cfg, ctx=ctx,
+        num_classes=100 if "cifar100" in args.model else 10,
         trace=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
     patch_inventory(model.ctx.evaluator, records)
     rng = np.random.default_rng(0)

@@ -26,9 +26,8 @@ def test_long_div_chebyshev_identity():
     g = [0.0] * 9
     g[-1] = 1.0
     q, r = cheby.long_div_chebyshev(f, g)
-    # convention: q's constant term is stored doubled (consumed as
-    # q[0]/2 at evaluation time, ckks_chebyshev.c:227,323)
-    q = [q[0] / 2] + list(q[1:])
+    # plain series convention on all lists (the doubled-c0 storage is
+    # only the PUBLIC eval_chebyshev contract, handled at entry)
     x = np.linspace(-1, 1, 101)
     lhs = cheb_eval_plain(f, x)
     rhs = (cheb_eval_plain(q, x) * cheb_eval_plain(g, x)
@@ -65,3 +64,26 @@ def test_sign_and_relu(ctx):
     out = enc.decode(ev.decrypt(relu_mod.relu(ev, ct, 1.0, 11))).real
     expect = np.maximum(x, 0)
     assert np.max(np.abs(out - expect)) < 5e-3
+
+
+def test_sign_and_relu_depth9(ctx):
+    # the reference's alfa=5 depth-9 composite (power basis converted
+    # exactly to Chebyshev): transition band |x| < 2^-5
+    params, enc, kg, ev = ctx
+    x = RNG.uniform(-1, 1, 32)
+    x[np.abs(x) < 2 ** -5] += 0.1
+    ct = ev.encrypt(enc.encode(x.astype(np.complex128)))
+    out = enc.decode(ev.decrypt(relu_mod.relu(ev, ct, 1.0, 9))).real
+    expect = np.maximum(x, 0)
+    assert np.max(np.abs(out - expect)) < 5e-3
+
+
+def test_sign_and_relu_depth9_with_range(ctx):
+    # per-ReLU value-range contract: inputs in [-4, 4], range=4
+    params, enc, kg, ev = ctx
+    x = RNG.uniform(-4, 4, 32)
+    x[np.abs(x) < 4 * 2 ** -5] += 0.5
+    ct = ev.encrypt(enc.encode(x.astype(np.complex128)))
+    out = enc.decode(ev.decrypt(relu_mod.relu(ev, ct, 4.0, 9))).real
+    expect = np.maximum(x, 0)
+    assert np.max(np.abs(out - expect)) < 2e-2
