@@ -108,8 +108,10 @@ class Encoder:
         self._pt_cache: "collections.OrderedDict" = \
             collections.OrderedDict()
         self._pt_cache_bytes = 0
+        # 3 GB default: must co-exist with the ~6 GB rotation-key LRU
+        # and the model's live ciphertexts inside one 16 GB v5e HBM
         self._pt_cache_budget = int(os.environ.get(
-            "ACE_TPU_PT_CACHE_MB", "4096")) << 20
+            "ACE_TPU_PT_CACHE_MB", "3072")) << 20
 
     # -- special FFT (ntt.c:678-753) ------------------------------------
 

@@ -254,10 +254,14 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
     scheme = select_params(g, cfg)
     if ctx is None:
         # keep rotation keys within a single-chip HBM budget (LRU +
-        # regenerate); per-key bytes derive from the key structure
+        # regenerate); per-key bytes derive from the key structure.
+        # 6 GB keys + 3 GB plaintext cache (encoder default) + working
+        # ciphertexts/temporaries must fit a 16 GB v5e — the former
+        # 10 GB key budget OOMed the chip mid-model once the LRU
+        # actually filled (148 keys x ~74 MB at L=33).
         ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys,
                          rot_key_budget_bytes=0 if max_rot_keys
-                         else (10 << 30))
+                         else (6 << 30))
     be = pk.FheBackend(ctx.evaluator, ctx.encoder,
                        bootstrap_fn=ctx.bootstrap)
     if check_every:
