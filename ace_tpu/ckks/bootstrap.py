@@ -436,16 +436,17 @@ class BootstrapContext:
         ev = self.ev
         nr = len(offs)
         if g <= 1 or nr <= g:
-            pls = []
+            import jax.numpy as jnp
+            msgs = []
             live = []
             for off, diag in zip(offs, diags):
                 if not np.any(diag):
                     continue
                 live.append(off)
-                pls.append(ev.encoder.encode_cached(diag, level=ct.level,
-                                             slots=len(diag),
-                                             extended=True))
-            return ev.rot_ext_mac_groups_jit(ct, live, [pls])[0]
+                msgs.append(ev.encoder.encode_msg_cached(
+                    diag, slots=len(diag)))
+            return ev.rot_mac_groups_msgs_jit(
+                ct, live, jnp.stack(msgs)[None, :, :])[0]
 
         h = (nr + 1) // 2 - 1  # offs[u] = (u - h) * shift
         baby_offs = [reduce_rotation(j * shift, slots_value)
@@ -467,11 +468,13 @@ class BootstrapContext:
                 any_live = True
             if any_live:
                 groups.append([
-                    None if r is None else ev.encoder.encode_cached(
-                        r, level=ct.level, slots=len(r), extended=True)
+                    ev.encoder.zero_msg() if r is None
+                    else ev.encoder.encode_msg_cached(r, slots=len(r))
                     for r in rows])
                 giants.append(reduce_rotation(giant, slots_value))
-        inners = ev.rot_ext_mac_groups_jit(ct, baby_offs, groups)
+        import jax.numpy as jnp
+        msgs = jnp.stack([jnp.stack(grp) for grp in groups])
+        inners = ev.rot_mac_groups_msgs_jit(ct, baby_offs, msgs)
         # inner results carry sf_degree +1; rot_sum preserves it
         out = ev.rot_sum_jit(list(zip(inners, giants)))
         return out

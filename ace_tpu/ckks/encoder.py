@@ -112,6 +112,17 @@ class Encoder:
         # and the model's live ciphertexts inside one 16 GB v5e HBM
         self._pt_cache_budget = int(os.environ.get(
             "ACE_TPU_PT_CACHE_MB", "3072")) << 20
+        # level-independent integer-message cache (encode_msg_cached):
+        # one [N] int64 row per unique weight vector, reused at EVERY
+        # level/basis by the in-program RNS lift — the whole ResNet
+        # plaintext working set is ~1 GB here vs ~10-15 GB of
+        # per-level RNS plaintexts
+        self._msg_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self._msg_cache_bytes = 0
+        self._msg_cache_budget = int(os.environ.get(
+            "ACE_TPU_MSG_CACHE_MB", "4096")) << 20
+        self._zero_msg = None
 
     # -- special FFT (ntt.c:678-753) ------------------------------------
 
@@ -229,6 +240,60 @@ class Encoder:
             _, old_pt = self._pt_cache.popitem(last=False)
             self._pt_cache_bytes -= int(old_pt.poly.data.size) * 8
         return pt
+
+    # -- level-independent message encoding -----------------------------
+    # The host half of encode() only (embedding_inv + llround): the
+    # signed int64 coefficient message fully determines the RNS residues
+    # at EVERY (level, extended) basis, so the device-side lift + NTT
+    # move into the consuming jit bundle (evaluator rot_mac_groups_msgs)
+    # and one cached [N] int64 row serves all levels. This replaces the
+    # reference's per-level compile-time encoding (encode/ cte,
+    # rt_data_writer.h:62-71) with something strictly smaller: the
+    # message is 8N bytes vs (level+K)*8N per-level residues.
+
+    def encode_msg(self, values, slots: int = 0) -> jnp.ndarray:
+        """Signed int64 coefficient message for `values` at scale Delta
+        (sf_degree=1). Device [N] int64 array."""
+        n = self.params.degree
+        slots = slots or n // 2
+        values = np.asarray(values, dtype=np.complex128)
+        assert len(values) <= slots <= n // 2
+        if len(values) < slots:
+            values = np.concatenate(
+                [values, np.zeros(slots - len(values), np.complex128)])
+        to_scale = self.embedding_inv(values)
+        gap = n // (slots * 2)
+        message = _llround_interleave(
+            to_scale, self.params.scaling_factor, n, slots, gap)
+        return jnp.asarray(message)
+
+    def zero_msg(self) -> jnp.ndarray:
+        """Shared all-zero message (zero weight rows encode exactly 0)."""
+        if self._zero_msg is None:
+            self._zero_msg = jnp.zeros(self.params.degree, dtype=jnp.int64)
+        return self._zero_msg
+
+    def encode_msg_cached(self, values, slots: int = 0) -> jnp.ndarray:
+        """encode_msg() with a content-addressed LRU (key excludes level
+        — the message is basis-independent)."""
+        if self._msg_cache_budget <= 0:
+            return self.encode_msg(values, slots)
+        import hashlib
+        values = np.asarray(values, dtype=np.complex128)
+        key = (hashlib.blake2b(values.tobytes(), digest_size=16)
+               .hexdigest(), slots)
+        hit = self._msg_cache.pop(key, None)
+        if hit is not None:
+            self._msg_cache[key] = hit
+            return hit
+        msg = self.encode_msg(values, slots)
+        self._msg_cache[key] = msg
+        self._msg_cache_bytes += int(msg.size) * 8
+        while (self._msg_cache_bytes > self._msg_cache_budget
+               and len(self._msg_cache) > 1):
+            _, old = self._msg_cache.popitem(last=False)
+            self._msg_cache_bytes -= int(old.size) * 8
+        return msg
 
     def encode_value(self, value: float, level: int,
                      sf_degree: int = 1) -> Plaintext:

@@ -694,6 +694,134 @@ class Evaluator:
                 ct.scaling_factor * pl_scale, ct.sf_degree + 1, ct.slots))
         return outs
 
+    def _mk_rot_mac_groups_msgs(self, auto_idxs: tuple, level: int):
+        """Scan-over-groups bundle for rot_mac_groups_msgs_jit.
+
+        Program size is O(R) in rotations and O(1) in groups: the
+        per-group work (plaintext RNS lift + NTT + MAC + mod-down) is
+        one lax.scan body, so a 64-group layer-3 conv compiles the same
+        module as a 4-group one. This replaced the unrolled
+        _mk_rot_mac_groups whose 2*G mod-downs (each iNTT+NTT) made XLA
+        chew 15-25 min per layer-3 program and OOM the remote compile
+        helper (round-4 logs).
+
+        The plaintext lift reproduces encoder.encode bit-exactly:
+        _signed_to_rns (canonical residues of the int64 message) and the
+        same gathered NTT tables, now traced on device.
+        """
+        import jax
+        from ace_tpu.ops import ntt
+        crt = self.crt
+        num_p = crt.num_p
+        idx = list(range(level)) + [crt.num_q + j for j in range(num_p)]
+
+        def impl(c0, c1, keys_b, keys_a, msgs):
+            cin0 = RnsPoly(c0, level, 0, True)
+            cin1 = RnsPoly(c1, level, 0, True)
+            q_live, _, _ = crt.mod_arrays(range(level))
+            digits = None
+            ki = 0
+            e0s, e1s = [], []
+            for ai in auto_idxs:
+                if ai == 1:
+                    e0 = self._p_scale(cin0, True)
+                    e1 = self._p_scale(cin1, True)
+                else:
+                    if digits is None:
+                        digits = self._switch_key_digits(cin1)
+                    key = SwitchKey(
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in keys_b[ki]],
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in keys_a[ki]])
+                    ki += 1
+                    ee0, ee1 = self._switch_key_ext(key, digits, level)
+                    c0p = self._p_scale(cin0)
+                    top = modops.add_mod(ee0.data[:level], c0p.data, q_live)
+                    ee0 = RnsPoly(
+                        jnp.concatenate([top, ee0.data[level:]], axis=0),
+                        level, num_p, True)
+                    e0 = P.automorphism(ee0, ai, crt)
+                    e1 = P.automorphism(ee1, ai, crt)
+                e0s.append(e0.data)
+                e1s.append(e1.data)
+            ext0 = jnp.stack(e0s)  # [R, level+K, N]
+            ext1 = jnp.stack(e1s)
+            qk, muh, mulo = crt.mod_arrays(idx)
+            t_live = ntt.gather_tables(crt.ntt_tables, idx)
+            R = len(auto_idxs)
+
+            def body(carry, msg_g):  # msg_g [R, N] int64
+                neg = msg_g < 0
+                mag = jnp.where(neg, -msg_g, msg_g).astype(jnp.uint64)
+                acc0 = acc1 = None
+                for i in range(R):
+                    r = modops.mod_u64(mag[i][None, :], qk, muh, mulo)
+                    r = jnp.where(neg[i][None, :] & (r != jnp.uint64(0)),
+                                  qk - r, r)
+                    pn = ntt.fwd(r, t_live)
+                    t0 = modops.barrett_mul_d(pn, ext0[i], qk, muh, mulo)
+                    t1 = modops.barrett_mul_d(pn, ext1[i], qk, muh, mulo)
+                    acc0 = t0 if acc0 is None else \
+                        modops.add_mod(acc0, t0, qk)
+                    acc1 = t1 if acc1 is None else \
+                        modops.add_mod(acc1, t1, qk)
+                o0 = P.mod_down(RnsPoly(acc0, level, num_p, True), crt)
+                o1 = P.mod_down(RnsPoly(acc1, level, num_p, True), crt)
+                return carry, (o0.data, o1.data)
+
+            _, (out0, out1) = jax.lax.scan(body, None, msgs)
+            return out0, out1
+
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
+
+    def rot_mac_groups_msgs_jit(self, ct: Ciphertext, rots: list,
+                                msgs) -> list:
+        """[sum_i rot(ct, rots[i]) * encode(msgs[g,i]) for g] with the
+        plaintexts given as level-independent int64 messages [G, R, N]
+        (dense; zero rows contribute exact zeros). One digit
+        decompose/mod-up for all rotations, one mod-down per group, as
+        a single jitted program per (rotation set, level, G).
+
+        Rotation sets beyond ACE_TPU_MAX_BUNDLE_MSG (default 12) are
+        chunked into separate programs whose mod-downed partials are
+        summed — bounding transient HBM (R keyswitch exts live at once)
+        and remote-compiler appetite at deep levels."""
+        import os
+        max_bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE_MSG", "12"))
+        if len(rots) > max_bundle:
+            outs = None
+            for s in range(0, len(rots), max_bundle):
+                part = self.rot_mac_groups_msgs_jit(
+                    ct, rots[s:s + max_bundle], msgs[:, s:s + max_bundle])
+                outs = part if outs is None else \
+                    [self.add(a, b) for a, b in zip(outs, part)]
+            return outs
+        level = ct.level
+        auto_idxs = []
+        keys_b, keys_a = [], []
+        for r in rots:
+            if r == 0:
+                auto_idxs.append(1)
+                continue
+            ai, key = self.keygen.rot_key(r)
+            auto_idxs.append(ai)
+            kb, ka = self._key_raw(key, level)
+            keys_b.append(kb)
+            keys_a.append(ka)
+        G = int(msgs.shape[0])
+        fn = self._get_jit(("rmgm", tuple(auto_idxs), G, level),
+                           self._mk_rot_mac_groups_msgs,
+                           tuple(auto_idxs), level)
+        out0, out1 = fn(ct.c0.data, ct.c1.data, keys_b, keys_a, msgs)
+        pl_scale = self.params.scaling_factor
+        return [Ciphertext(
+            RnsPoly(out0[g], level, 0, True),
+            RnsPoly(out1[g], level, 0, True),
+            ct.scaling_factor * pl_scale, ct.sf_degree + 1, ct.slots)
+            for g in range(G)]
+
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         """Conjugation = keyswitch + automorphism 2N-1: reuses the
         rotate jit bundle (one XLA program, not eager dispatch)."""

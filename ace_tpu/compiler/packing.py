@@ -166,33 +166,20 @@ class FheBackend:
         with ONE digit decompose/mod-up for all rotations and one
         mod-down per group (the reference's combined mod-up + mod-down
         hoisting, ut_ksw_opt.cxx:349-375) — the whole bundle runs as a
-        single jitted XLA program per (rotations, pattern, level)."""
+        single jitted XLA program per (rotations, level, #groups).
+        Weights ship as level-independent int64 messages; the RNS lift
+        + NTT happen inside the program (encoder.encode_msg_cached)."""
+        import jax.numpy as jnp
         ev = self.ev
         ct = self._norm(ct)
-        plain_groups = []
-        nonzero_groups = []
+        msgs = []
         for W in weight_groups:
-            grp = []
-            for w in W:
-                if w is None or not np.any(w):
-                    grp.append(None)
-                else:
-                    grp.append(self.enc.encode_cached(
-                        self._pad(w), level=ct.level, slots=self.n_slots,
-                        extended=True))
-            plain_groups.append(grp)
-            nonzero_groups.append(any(p is not None for p in grp))
-        live = [g for g, nz in zip(plain_groups, nonzero_groups) if nz]
-        live_out = ev.rot_ext_mac_groups_jit(ct, list(rots), live) \
-            if live else []
-        outs = []
-        it = iter(live_out)
-        for nz in nonzero_groups:
-            if nz:
-                outs.append(next(it))
-            else:  # all-zero group
-                outs.append(self.mul_plain(ct, np.zeros(self.n_slots)))
-        return outs
+            row = [self.enc.encode_msg_cached(self._pad(w),
+                                              slots=self.n_slots)
+                   if w is not None and np.any(w) else self.enc.zero_msg()
+                   for w in W]
+            msgs.append(jnp.stack(row))
+        return ev.rot_mac_groups_msgs_jit(ct, list(rots), jnp.stack(msgs))
 
     def rot_sum(self, items):
         """sum_i rot(ct_i, r_i) with a single trailing mod-down (one

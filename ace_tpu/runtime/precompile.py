@@ -132,6 +132,12 @@ def patch_encoder(enc) -> None:
     enc.encode = stub_encode
     enc.encode_cached = stub_encode
 
+    def stub_encode_msg(values, slots=0):
+        return jnp.zeros(params.degree, dtype=jnp.int64)
+
+    enc.encode_msg = stub_encode_msg
+    enc.encode_msg_cached = stub_encode_msg
+
 
 def run_inventory(args):
     # inventory never needs the TPU: force CPU before touching jax
