@@ -94,7 +94,14 @@ def _pow2cheb_normalized(tables):
         c = float(_np.max(_np.abs(_P.polyval(
             _np.linspace(-1.0, 1.0, 100001), p))))
         c = max(c, 1.0)
-        out.append(list(_C.poly2cheb(p / c)))
+        cheb = list(_C.poly2cheb(p / c))
+        # eval_chebyshev halves c0 at entry (the reference's doubled-c0
+        # contract); these plain-convention series are only safe to
+        # feed it because sign stages are odd (c0 == 0, as are all even
+        # coefficients) — guard against a future non-odd table here
+        assert all(abs(v) < 1e-12 for v in cheb[0::2]), \
+            "sign stage must be odd (doubled-c0 contract)"
+        out.append(cheb)
         scale = c
     # the LAST stage must return the true (unscaled) sign value
     if scale != 1.0:

@@ -102,19 +102,23 @@ class LiftedJit:
                 visit(v)
         for v in jaxpr.outvars:
             visit(v)
-        for v in jaxpr.constvars:  # unused consts (rare) keep tail order
-            visit(v)
+        # consts unused by any eqn/outvar are DROPPED from the parameter
+        # list (their values can't matter) and bound to zero placeholders
+        # — keeping them would reintroduce the trace-history-dependent
+        # constvars tail order this whole canonicalization removes
 
         slot_of = {id(v): i for i, v in enumerate(order)}
         # device-put once; shared tables reuse the same buffers
         uniq = [jnp.asarray(closed.consts[pos_of[id(v)]]) for v in order]
-        binding = [slot_of[id(v)] for v in jaxpr.constvars]
+        binding = [slot_of.get(id(v), v.aval) for v in jaxpr.constvars]
         self._consts = uniq
         ev = _eval_jaxpr()
         out_tree = self._out_tree
 
         def conv(flat_args, consts):
-            outs = ev(jaxpr, [consts[i] for i in binding], *flat_args)
+            bound = [consts[b] if isinstance(b, int)
+                     else jnp.zeros(b.shape, b.dtype) for b in binding]
+            outs = ev(jaxpr, bound, *flat_args)
             return jax.tree.unflatten(out_tree, outs)
 
         self._jitted = jax.jit(conv)

@@ -112,6 +112,15 @@ def main():
             max_err = max(max_err, err)
             rows.append(dict(image=i, seconds=dt, max_err=err,
                              argmax_agree=ok,
+                             # resnet110 ships no weight values in the
+                             # reference; its graph runs He-initialized
+                             # range-calibrated weights (timing is
+                             # weight-independent) — label it so its
+                             # agreement is not read as trained-model
+                             # accuracy
+                             weights=("synthetic-calibrated"
+                                      if name == "resnet110_cifar10"
+                                      else "reference-trained"),
                              params=dict(N=info.poly_degree,
                                          L=info.mul_level,
                                          hamming_weight=info.hamming_weight,
