@@ -165,7 +165,10 @@ def _coeff_one_level(ksipows, rot_group, encoding: bool, flag: bool):
                 else:
                     jt = (rot_group[j] % lenq) * (dim // lenq)
                 if flag and m == 2:
-                    val = np.exp((-1j if encoding else 1j) * np.pi / 2)
+                    # cexp(±M_PI/2*I) as cos+i*sin (glibc sincos), not
+                    # np.exp — ULP parity with the reference tables
+                    half_pi = (-1.0 if encoding else 1.0) * np.pi / 2
+                    val = complex(np.cos(half_pi), np.sin(half_pi))
                     w = val * ksipows[jt]
                 else:
                     val = 1.0
@@ -321,7 +324,12 @@ class BootstrapContext:
         for i in range(slots):
             rot_group[i] = five
             five = (five * 5) % slots4
-        ksipows = np.exp(2j * np.pi * np.arange(slots4 + 1) / slots4)
+        # cos + i*sin exactly as the reference (:1117-1122) — np.exp's
+        # complex path rounds differently at the ULP, which would make
+        # every encoded diagonal differ by one llround step from the
+        # reference-binary vectors
+        ang = 2.0 * np.pi * np.arange(slots4 + 1) / slots4
+        ksipows = np.cos(ang) + 1j * np.sin(ang)
         ksipows[slots4] = ksipows[0]
 
         q0 = params.crt.q_primes[0]
@@ -430,12 +438,12 @@ class BootstrapContext:
         conjugate-channel tables, so intermediates are 2*slots-periodic;
         `slots_value` (the offset-reduction period) and the diagonal
         roll period both come from the merged diagonal length. Only
-        tiny levels (g<=1 or nr<=g, where BSGS saves nothing) fall back
-        to one hoisted rotation per band diagonal.
+        g<=1 levels (where the reference's grouping degenerates) fall
+        back to one hoisted rotation per band diagonal.
         """
         ev = self.ev
         nr = len(offs)
-        if g <= 1 or nr <= g:
+        if g <= 1:
             import jax.numpy as jnp
             msgs = []
             live = []
@@ -448,36 +456,33 @@ class BootstrapContext:
             return ev.rot_mac_groups_msgs_jit(
                 ct, live, jnp.stack(msgs)[None, :, :])[0]
 
-        h = (nr + 1) // 2 - 1  # offs[u] = (u - h) * shift
-        baby_offs = [reduce_rotation(j * shift, slots_value)
-                     for j in range(g)]
-        groups = []
-        giants = []
-        for i in range(-(-nr // g)):
-            giant = (i * g - h) * shift
-            rows = []
-            any_live = False
+        # Reference grouping (Rotate_iteration :1237-1383): the BABY
+        # rotations are the centered offsets offs[0:g]; giant step i
+        # rotates by +g*i*shift with its diagonals pre-rolled the
+        # opposite way (Rotate_precomp :354-366 Rotate_vector by
+        # Reduce_rotation(-g*i*shift, m/4)). Zero diagonals are
+        # encoded, not skipped — the reference encodes every dim2 !=
+        # num_rot, and encode(0) is not the zero polynomial (llround's
+        # +0.5 bias), so skipping would break bit-exactness vs the
+        # reference-binary stage vectors (test_ref_bootstrap).
+        import jax.numpy as jnp
+        m4 = ev.params.degree // 2
+        b = -(-nr // g)
+        baby_offs = list(offs[:g])
+        giants = [reduce_rotation(g * i * shift, m4) for i in range(b)]
+        rows = []
+        for i in range(b):
+            row = []
             for j in range(g):
                 u = i * g + j
-                if u >= nr or not np.any(diags[u]):
-                    rows.append(None)
+                if u >= nr:
+                    row.append(ev.encoder.zero_msg())
                     continue
-                # rot(d', giant) must equal diag: d'[t] = diag[t - giant]
                 period = len(diags[u])
-                rows.append(np.roll(diags[u], giant % period))
-                any_live = True
-            if any_live:
-                groups.append([
-                    ev.encoder.zero_msg() if r is None
-                    else ev.encoder.encode_msg_cached(r, slots=len(r))
-                    for r in rows])
-                giants.append(reduce_rotation(giant, slots_value))
-        import jax.numpy as jnp
-        msgs = jnp.stack([jnp.stack(grp) for grp in groups])
-        inners = ev.rot_mac_groups_msgs_jit(ct, baby_offs, msgs)
-        # inner results carry sf_degree +1; rot_sum preserves it
-        out = ev.rot_sum_jit(list(zip(inners, giants)))
-        return out
+                d = np.roll(diags[u], (g * i * shift) % period)
+                row.append(ev.encoder.encode_msg_cached(d, slots=len(d)))
+            rows.append(jnp.stack(row))
+        return ev.bsgs_iter_jit(ct, baby_offs, giants, jnp.stack(rows))
 
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         return self._transform(ct, True)

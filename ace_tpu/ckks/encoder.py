@@ -108,10 +108,12 @@ class Encoder:
         self._pt_cache: "collections.OrderedDict" = \
             collections.OrderedDict()
         self._pt_cache_bytes = 0
-        # 3 GB default: must co-exist with the ~6 GB rotation-key LRU
-        # and the model's live ciphertexts inside one 16 GB v5e HBM
+        # 1 GB default: since the conv/bootstrap diagonal plaintexts
+        # moved to the level-independent message cache, this LRU only
+        # holds small mask/bias plaintexts — must co-exist with the
+        # ~6 GB rotation-key LRU inside one 16 GB v5e HBM
         self._pt_cache_budget = int(os.environ.get(
-            "ACE_TPU_PT_CACHE_MB", "3072")) << 20
+            "ACE_TPU_PT_CACHE_MB", "1024")) << 20
         # level-independent integer-message cache (encode_msg_cached):
         # one [N] int64 row per unique weight vector, reused at EVERY
         # level/basis by the in-program RNS lift — the whole ResNet

@@ -822,6 +822,152 @@ class Evaluator:
             ct.scaling_factor * pl_scale, ct.sf_degree + 1, ct.slots)
             for g in range(G)]
 
+    def _lift_msgs(self, msg, idx):
+        """int64 messages [..., N] -> canonical residues [..., LK, N] at
+        the live limbs `idx` (in-trace; bit-exact _signed_to_rns)."""
+        qk, muh, mulo = self.crt.mod_arrays(idx)
+        neg = msg < 0
+        mag = jnp.where(neg, -msg, msg).astype(jnp.uint64)
+        r = modops.mod_u64(mag[..., None, :], qk, muh, mulo)
+        return jnp.where(neg[..., None, :] & (r != jnp.uint64(0)),
+                         qk - r, r)
+
+    def _mk_bsgs_iter(self, baby_idxs: tuple, giant_idxs: tuple,
+                      level: int):
+        """One collapsed-FFT BSGS level as a single program, mirroring
+        the reference's Rotate_iteration (ckks_bootstrap_context.c:
+        1237-1383) EXACTLY — including its c0 bookkeeping: inner ext
+        MACs keep c0 in the extended basis (the `first` accumulator);
+        only each group's c1 is mod-downed before the giant rotation;
+        ONE final mod-down per component. Bit-exact against the
+        reference-binary bootstrap stage vectors (test_ref_bootstrap).
+
+        baby_idxs[j]: automorphism index per baby rotation (1 = ext
+        embed, Switch_key_ext). giant_idxs[i]: per giant step (1 = no
+        rotation). msgs [b, g, N] int64; row g*i+j == num_rot is zero.
+        """
+        import jax
+        from ace_tpu.ops import ntt
+        crt = self.crt
+        num_p = crt.num_p
+        idx = list(range(level)) + [crt.num_q + j for j in range(num_p)]
+
+        def impl(c0, c1, baby_kb, baby_ka, giant_kb, giant_ka, msgs):
+            cin0 = RnsPoly(c0, level, 0, True)
+            cin1 = RnsPoly(c1, level, 0, True)
+            q_live, _, _ = crt.mod_arrays(range(level))
+            qk, muh, mulo = crt.mod_arrays(idx)
+            t_live = ntt.gather_tables(crt.ntt_tables, idx)
+            digits = None
+            ki = 0
+            exts = []
+            for ai in baby_idxs:
+                if ai == 1:
+                    exts.append((self._p_scale(cin0, True),
+                                 self._p_scale(cin1, True)))
+                    continue
+                if digits is None:
+                    digits = self._switch_key_digits(cin1)
+                key = SwitchKey(
+                    [RnsPoly(d, crt.num_q, num_p, True)
+                     for d in baby_kb[ki]],
+                    [RnsPoly(d, crt.num_q, num_p, True)
+                     for d in baby_ka[ki]])
+                ki += 1
+                ee0, ee1 = self._switch_key_ext(key, digits, level)
+                c0p = self._p_scale(cin0)
+                top = modops.add_mod(ee0.data[:level], c0p.data, q_live)
+                ee0 = RnsPoly(
+                    jnp.concatenate([top, ee0.data[level:]], axis=0),
+                    level, num_p, True)
+                exts.append((P.automorphism(ee0, ai, crt),
+                             P.automorphism(ee1, ai, crt)))
+
+            g = len(baby_idxs)
+            first = None      # ext c0 accumulator (never keyswitched)
+            out0 = out1 = None
+            gi = 0
+            for i, gai in enumerate(giant_idxs):
+                res = self._lift_msgs(msgs[i], idx)  # [g, LK, N]
+                acc0 = acc1 = None
+                for j in range(g):
+                    pn = ntt.fwd(res[j], t_live)
+                    t0 = modops.barrett_mul_d(pn, exts[j][0].data,
+                                              qk, muh, mulo)
+                    t1 = modops.barrett_mul_d(pn, exts[j][1].data,
+                                              qk, muh, mulo)
+                    acc0 = t0 if acc0 is None else \
+                        modops.add_mod(acc0, t0, qk)
+                    acc1 = t1 if acc1 is None else \
+                        modops.add_mod(acc1, t1, qk)
+                acc0 = RnsPoly(acc0, level, num_p, True)
+                acc1 = RnsPoly(acc1, level, num_p, True)
+                if i == 0:
+                    first = acc0
+                    out1 = acc1
+                elif gai != 1:
+                    c1q = P.mod_down(acc1, crt)
+                    first = P.add(first,
+                                  P.automorphism(acc0, gai, crt), crt)
+                    gkey = SwitchKey(
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in giant_kb[gi]],
+                        [RnsPoly(d, crt.num_q, num_p, True)
+                         for d in giant_ka[gi]])
+                    gi += 1
+                    dig_i = self._switch_key_digits(c1q)
+                    e0, e1 = self._switch_key_ext(gkey, dig_i, level)
+                    a0 = P.automorphism(e0, gai, crt)
+                    a1 = P.automorphism(e1, gai, crt)
+                    out0 = a0 if out0 is None else P.add(out0, a0, crt)
+                    out1 = P.add(out1, a1, crt)
+                else:
+                    first = P.add(first, acc0, crt)
+                    out1 = P.add(out1, acc1, crt)
+            out0 = first if out0 is None else P.add(out0, first, crt)
+            return (P.mod_down(out0, crt).data,
+                    P.mod_down(out1, crt).data)
+
+        from ace_tpu.utils.liftjit import lift_jit
+        return lift_jit(impl)
+
+    def bsgs_iter_jit(self, ct: Ciphertext, baby_rots: list,
+                      giant_rots: list, msgs) -> Ciphertext:
+        """Rotate_iteration as one jitted program (see _mk_bsgs_iter).
+        msgs: [len(giant_rots), len(baby_rots), N] int64 messages."""
+        level = ct.level
+        n = self.params.degree
+        baby_idxs, baby_kb, baby_ka = [], [], []
+        for r in baby_rots:
+            if r == 0:
+                baby_idxs.append(1)
+                continue
+            ai, key = self.keygen.rot_key(r)
+            baby_idxs.append(ai)
+            kb, ka = self._key_raw(key, level)
+            baby_kb.append(kb)
+            baby_ka.append(ka)
+        giant_idxs, giant_kb, giant_ka = [], [], []
+        for r in giant_rots:
+            if r == 0:
+                giant_idxs.append(1)
+                continue
+            ai, key = self.keygen.rot_key(r)
+            giant_idxs.append(ai)
+            kb, ka = self._key_raw(key, level)
+            giant_kb.append(kb)
+            giant_ka.append(ka)
+        fn = self._get_jit(("bsgs", tuple(baby_idxs), tuple(giant_idxs),
+                            level),
+                           self._mk_bsgs_iter, tuple(baby_idxs),
+                           tuple(giant_idxs), level)
+        d0, d1 = fn(ct.c0.data, ct.c1.data, baby_kb, baby_ka,
+                    giant_kb, giant_ka, msgs)
+        return Ciphertext(RnsPoly(d0, level, 0, True),
+                          RnsPoly(d1, level, 0, True),
+                          ct.scaling_factor * self.params.scaling_factor,
+                          ct.sf_degree + 1, ct.slots)
+
     def conjugate(self, a: Ciphertext) -> Ciphertext:
         """Conjugation = keyswitch + automorphism 2N-1: reuses the
         rotate jit bundle (one XLA program, not eager dispatch)."""

@@ -262,6 +262,8 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
         ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys,
                          rot_key_budget_bytes=0 if max_rot_keys
                          else (6 << 30))
+    if trace:
+        trace(ctx.hbm_plan())
     be = pk.FheBackend(ctx.evaluator, ctx.encoder,
                        bootstrap_fn=ctx.bootstrap)
     if check_every:

@@ -85,8 +85,13 @@ class CrtContext:
     @property
     def ntt_tables(self) -> ntt.NttTables:
         if self._ntt_tables is None:
-            self._ntt_tables = ntt.make_ntt_tables(self.all_primes,
-                                                   self.degree)
+            # may be first touched inside a jit trace (e.g. a key-injected
+            # evaluator whose first op is a traced bundle): force the
+            # table arrays concrete so tracers never get cached
+            import jax
+            with jax.ensure_compile_time_eval():
+                self._ntt_tables = ntt.make_ntt_tables(self.all_primes,
+                                                       self.degree)
         return self._ntt_tables
 
     def q_mod_arrays(self, level: int):

@@ -70,6 +70,38 @@ class FheContext:
         self._io_inputs: dict[str, object] = {}
         self._io_outputs: dict[str, object] = {}
 
+    def hbm_plan(self) -> str:
+        """Static HBM budget report, printed at startup (the analog of
+        the reference's key/weight memory report, rtlib context.c:
+        100-116) — the ahead-of-time answer to 'will this fit', in
+        place of reactive OOM-retry."""
+        import os
+        from ace_tpu.ckks.keygen import switch_key_nbytes
+        p = self.params
+        n = p.degree
+        L = p.crt.num_q
+        K = p.crt.num_p
+        key_b = switch_key_nbytes(p)
+        n_keys = self.keygen.max_rot_keys or 0
+        keys = n_keys * key_b
+        msg_budget = self.encoder._msg_cache_budget
+        pt_budget = self.encoder._pt_cache_budget
+        bundle = int(os.environ.get("ACE_TPU_MAX_BUNDLE_MSG", "12"))
+        # peak bundle workspace: R keyswitch exts (2 polys, L+K limbs)
+        # + R key digit planes + one group's MAC transients
+        row = (L + K) * n * 8
+        exts = bundle * 2 * row
+        kdig = bundle * 2 * p.crt.num_decomp(L) * row
+        work = exts + kdig + 4 * row
+        total = keys + msg_budget + pt_budget + work
+        return ("[RT_STAT] HBM plan: rot-keys %d x %.0f MB = %.2f GB, "
+                "msg-cache %.1f GB, pt-cache %.1f GB, bundle workspace "
+                "%.2f GB (R<=%d at L=%d) -> planned peak %.2f GB "
+                "(+ live ciphertexts)"
+                % (n_keys, key_b / 2**20, keys / 2**30,
+                   msg_budget / 2**30, pt_budget / 2**30,
+                   work / 2**30, bundle, L, total / 2**30))
+
     @classmethod
     def from_manifest(cls, path: str, **kw) -> "FheContext":
         """Rebuild a runtime context from a compile-driver manifest

@@ -75,7 +75,11 @@ def gen_previous_prime(mod: int, order: int) -> int:
 
 
 def gen_next_prime(mod: int, order: int) -> int:
-    cand = mod + order
+    # The reference's do-while adds `order` AGAIN before the first
+    # primality test (crt.c:34-41), so mod + order is never considered.
+    # Replicated exactly: at small rings (order 128) the skip changes
+    # the chain — caught by the degree-64 bootstrap refvec fixture.
+    cand = mod + 2 * order
     while not is_prime(cand):
         cand += order
     return cand
