@@ -175,26 +175,44 @@ class KeyGenerator:
         return stack
 
     def _swk_fn(self):
-        """One jitted XLA program for ALL switching-key math:
+        """One jitted XLA program for ALL switching-key math: sample
+        the uniform component `a` ON DEVICE (threefry bits, 128-bit
+        Barrett reduction per residue — bias <= 2^-77; `a` is a PUBLIC
+        key component, so a PRF-seeded expansion is sound, cf. the
+        seeded-`a` convention of RLWE schemes), then
         b[part] = NTT(e[part]) - a[part] * old + pk_new[part] over the
-        full Q ∪ P basis. Replaces ~10 eager dispatches per part; the
-        sampling stays host-side (CSPRNG), the arithmetic is one
-        cached executable reused by every rotation/relin/conj key."""
+        full Q ∪ P basis.
+
+        Device-side sampling is load-bearing on the tunnel backend:
+        every host->device transfer leaks its host staging copy
+        (measured ~size-of-array per transfer), and the former host
+        path shipped ~70 MB per key — 1036 LRU regens OOM-killed the
+        round-5 run at 123 GB host RSS. Only the secret error `e`
+        ships from host now (int8 [parts, N], ~100 KB)."""
         fn = getattr(self, "_swk_fn_cache", None)
         if fn is None:
             crt = self.crt
             parts = crt.num_q_parts
             lk = crt.num_q + crt.num_p
+            n = self.params.degree
             from ace_tpu.ops import ntt as ntt_ops
             from ace_tpu.ops import modops
             from ace_tpu.utils.liftjit import lift_jit
+            import jax
             import jax.numpy as jnp
             tables = ntt_ops.gather_tables(crt.ntt_tables, range(lk))
             q, mu_hi, mu_lo = crt.mod_arrays(range(lk))
 
-            def impl(a, e_signed, old, pk_new):
-                # a, pk_new: [parts, L+K, N]; e_signed: [parts, N] in
-                # {-1,0,1} (RNS-expanded on device); old: [L+K, N]
+            def impl(rk, e_signed, old, pk_new):
+                # rk: threefry key; e_signed: [parts, N] int8 in
+                # {-1,0,1}; old: [L+K, N]; pk_new: [parts, L+K, N]
+                bits = jax.random.bits(rk, (4, parts, lk, n),
+                                       dtype=jnp.uint32)
+                b64 = bits.astype(jnp.uint64)
+                hi = (b64[0] << jnp.uint64(32)) | b64[1]
+                lo = (b64[2] << jnp.uint64(32)) | b64[3]
+                a = modops.barrett_reduce_128(
+                    hi, lo, q[None], mu_hi[None], mu_lo[None])
                 e = jnp.where(e_signed[:, None, :] == -1,
                               q[None] - jnp.uint64(1),
                               e_signed[:, None, :].astype(jnp.uint64))
@@ -203,52 +221,46 @@ class KeyGenerator:
                                    for i in range(parts)])
                 t = modops.barrett_mul_d(a, old[None], q[None],
                                          mu_hi[None], mu_lo[None])
-                return modops.add_mod(modops.sub_mod(e_ntt, t, q[None]),
-                                      pk_new, q[None])
+                b = modops.add_mod(modops.sub_mod(e_ntt, t, q[None]),
+                                   pk_new, q[None])
+                return b, a
 
             fn = lift_jit(impl)
             self._swk_fn_cache = fn
         return fn
 
+    def _next_a_key(self):
+        """Per-key threefry seed, derived deterministically from the
+        CSPRNG seed stream at construction + a call counter."""
+        import jax
+        base = getattr(self, "_a_key_base", None)
+        if base is None:
+            seed = int(self.rng.integers(0, 2**31 - 1))
+            base = jax.random.PRNGKey(seed)
+            self._a_key_base = base
+            self._a_ctr = 0
+        self._a_ctr += 1
+        return jax.random.fold_in(base, self._a_ctr)
+
     def _gen_switching_key(self, new_key: RnsPoly,
                            old_key: RnsPoly) -> SwitchKey:
         """b_part = -a*old_key + P*Q~_part*new_key + e (NTT over Q ∪ P)."""
         crt = self.crt
-        if self.mesh is not None:
-            # limb-sharded residency path: per-part eager ops preserve
-            # the put_limb shardings
-            bs, As = [], []
-            for part in range(crt.num_q_parts):
-                a = self._sample_uniform_qp()
-                e = self._small_qp_poly(self._sample_triangle())
-                pk_new = P.mul_scalars(new_key,
-                                       self._part_scalars(part), crt)
-                b = P.add(P.sub(e, P.mul(a, old_key, crt), crt),
-                          pk_new, crt)
-                bs.append(b)
-                As.append(a)
-            return SwitchKey(bs, As)
-
         import jax.numpy as jnp
         parts = crt.num_q_parts
-        qp = crt.q_primes + crt.p_primes
-        # draw order matches the eager/mesh path exactly (a then e,
-        # per part) so both paths produce bit-identical keys from the
-        # same seed (tests/test_multichip_eval.py relies on this)
-        a_rows, e_rows = [], []
-        for _ in range(parts):
-            a_rows.append(np.stack([
-                self.rng.integers(0, qq, dtype=np.uint64,
-                                  size=self.params.degree)
-                for qq in qp]))
-            e_rows.append(self._sample_triangle())
-        a_h = np.stack(a_rows)
-        e_h = np.stack(e_rows)
-        b = self._swk_fn()(jnp.asarray(a_h), jnp.asarray(e_h),
-                           old_key.data, self._scaled_new_key(new_key))
+        e_h = np.stack([self._sample_triangle() for _ in range(parts)])
+        b, a = self._swk_fn()(self._next_a_key(),
+                              jnp.asarray(e_h.astype(np.int8)),
+                              old_key.data, self._scaled_new_key(new_key))
+        if self.mesh is not None:
+            # limb-sharded residency: reshard the computed key parts
+            # (device-to-device; no host round-trip)
+            from ace_tpu.parallel.mesh import put_limb
+            b = put_limb(b, self.mesh)
+            a = put_limb(a, self.mesh)
         bs = [RnsPoly(b[i], crt.num_q, crt.num_p, True)
               for i in range(parts)]
-        As = [RnsPoly(jnp.asarray(a_h[i]), crt.num_q, crt.num_p, True)
+        As = [RnsPoly(a[i], crt.num_q, crt.num_p, True)
               for i in range(parts)]
         return SwitchKey(bs, As)
 

@@ -255,13 +255,15 @@ def compile_model(name_or_graph, cfg: SchemeConfig | None = None,
     if ctx is None:
         # keep rotation keys within a single-chip HBM budget (LRU +
         # regenerate); per-key bytes derive from the key structure.
-        # 6 GB keys + 3 GB plaintext cache (encoder default) + working
-        # ciphertexts/temporaries must fit a 16 GB v5e — the former
-        # 10 GB key budget OOMed the chip mid-model once the LRU
-        # actually filled (148 keys x ~74 MB at L=33).
+        # 8 GB keys + 1 GB mask-plaintext cache + ~1 GB message cache
+        # + bundle workspace + live ciphertexts fit a 16 GB v5e (see
+        # FheContext.hbm_plan, printed at startup). The budget was 6 GB
+        # when the per-level plaintext cache still needed 3 GB; the
+        # level-independent message cache freed that headroom, and the
+        # extra ~35 keys resident cut the 0.6-0.8 s/op LRU regen churn.
         ctx = FheContext(scheme_info=scheme, max_rot_keys=max_rot_keys,
                          rot_key_budget_bytes=0 if max_rot_keys
-                         else (6 << 30))
+                         else (8 << 30))
     if trace:
         trace(ctx.hbm_plan())
     be = pk.FheBackend(ctx.evaluator, ctx.encoder,

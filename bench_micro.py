@@ -37,8 +37,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--degree", type=int, default=1 << 16)
     ap.add_argument("--num-q", type=int, default=24)
+    ap.add_argument("--first-mod-size", type=int, default=60)
+    ap.add_argument("--scaling-mod-size", type=int, default=56)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--bootstrap", action="store_true")
+    ap.add_argument("--sparse-slots", type=int, default=0,
+                    help="also time a sparse bootstrap at this slot "
+                         "count (ut_ckks_perf times full AND sparse)")
     ap.add_argument("--json", type=str, default="")
     args = ap.parse_args()
 
@@ -53,7 +58,8 @@ def main():
           f"num_q={args.num_q}", file=sys.stderr)
     t0 = time.time()
     params = CkksParams(degree=args.degree, num_q=args.num_q,
-                        first_mod_size=60, scaling_mod_size=56,
+                        first_mod_size=args.first_mod_size,
+                        scaling_mod_size=args.scaling_mod_size,
                         hamming_weight=192)
     ctx = FheContext(params, seed=7)
     ev, enc = ctx.evaluator, ctx.encoder
@@ -90,13 +96,23 @@ def main():
     if args.bootstrap:
         bts = ctx.bootstrap_precom(n_slots)
         low = ev.encrypt(enc.encode(msg * 0.1, level=2))
-        run("bootstrap", lambda: bts.bootstrap(low), lambda r: r.c0.data)
+        run("bootstrap_full", lambda: bts.bootstrap(low),
+            lambda r: r.c0.data)
+    if args.sparse_slots:
+        sp = args.sparse_slots
+        bts_sp = ctx.bootstrap_precom(sp)
+        sp_msg = rng.uniform(-0.1, 0.1, sp).astype(np.complex128)
+        low_sp = ev.encrypt(enc.encode(sp_msg, level=2, slots=sp))
+        run(f"bootstrap_sparse_{sp}", lambda: bts_sp.bootstrap(low_sp),
+            lambda r: r.c0.data)
 
     if args.json:
         with open(args.json, "w") as f:
             json.dump({
                 "backend": jax.default_backend(),
                 "degree": args.degree, "num_q": args.num_q,
+                "first_mod_size": args.first_mod_size,
+                "scaling_mod_size": args.scaling_mod_size,
                 "iters": args.iters,
                 "seconds": results,
                 "key_switches_per_s": round(1.0 / results["rotate"], 1)
