@@ -845,12 +845,22 @@ class Evaluator:
         baby_idxs[j]: automorphism index per baby rotation (1 = ext
         embed, Switch_key_ext). giant_idxs[i]: per giant step (1 = no
         rotation). msgs [b, g, N] int64; row g*i+j == num_rot is zero.
+
+        Program size: the baby key-switch exts are a lax.scan over
+        stacked keys + automorphism permutations, and the inner MACs a
+        nested scan over (group, rotation) — so the module is O(D + b)
+        regardless of g. The fully unrolled first cut (g=16 exts + 64
+        plaintext lifts inline at bootstrap levels) sat in the remote
+        compiler >11 min; this compiles like the conv bundles.
         """
         import jax
         from ace_tpu.ops import ntt
         crt = self.crt
         num_p = crt.num_p
         idx = list(range(level)) + [crt.num_q + j for j in range(num_p)]
+        nb_pos = [j for j, ai in enumerate(baby_idxs) if ai != 1]
+        perms_h = np.stack([crt.auto_order(baby_idxs[j])
+                            for j in nb_pos]) if nb_pos else None
 
         def impl(c0, c1, baby_kb, baby_ka, giant_kb, giant_ka, msgs):
             cin0 = RnsPoly(c0, level, 0, True)
@@ -858,50 +868,79 @@ class Evaluator:
             q_live, _, _ = crt.mod_arrays(range(level))
             qk, muh, mulo = crt.mod_arrays(idx)
             t_live = ntt.gather_tables(crt.ntt_tables, idx)
-            digits = None
-            ki = 0
-            exts = []
+            g = len(baby_idxs)
+            lk = len(idx)
+            n = cin0.degree
+            ident0 = self._p_scale(cin0, True).data
+            ident1 = self._p_scale(cin1, True).data
+            ne0 = ne1 = None
+            if nb_pos:
+                digits = self._switch_key_digits(cin1)
+                dig = jnp.stack([d.data for d in digits])  # [D, LK, N]
+                D = dig.shape[0]
+                c0p = self._p_scale(cin0).data
+
+                def baby_body(carry, xs):
+                    kb, ka, perm = xs  # [D, LKfull, N] x2, [N]
+                    kbl = jnp.concatenate(
+                        [kb[:, :level], kb[:, crt.num_q:]], axis=1)
+                    kal = jnp.concatenate(
+                        [ka[:, :level], ka[:, crt.num_q:]], axis=1)
+                    e0 = e1 = None
+                    for d in range(D):
+                        t0 = modops.barrett_mul_d(dig[d], kbl[d],
+                                                  qk, muh, mulo)
+                        t1 = modops.barrett_mul_d(dig[d], kal[d],
+                                                  qk, muh, mulo)
+                        e0 = t0 if e0 is None else \
+                            modops.add_mod(e0, t0, qk)
+                        e1 = t1 if e1 is None else \
+                            modops.add_mod(e1, t1, qk)
+                    top = modops.add_mod(e0[:level], c0p, q_live)
+                    e0 = jnp.concatenate([top, e0[level:]], axis=0)
+                    return carry, (e0[:, perm], e1[:, perm])
+
+                _, (ne0, ne1) = jax.lax.scan(
+                    baby_body, None,
+                    (baby_kb, baby_ka, jnp.asarray(perms_h)))
+            ext0_rows, ext1_rows = [], []
+            k = 0
             for ai in baby_idxs:
                 if ai == 1:
-                    exts.append((self._p_scale(cin0, True),
-                                 self._p_scale(cin1, True)))
-                    continue
-                if digits is None:
-                    digits = self._switch_key_digits(cin1)
-                key = SwitchKey(
-                    [RnsPoly(d, crt.num_q, num_p, True)
-                     for d in baby_kb[ki]],
-                    [RnsPoly(d, crt.num_q, num_p, True)
-                     for d in baby_ka[ki]])
-                ki += 1
-                ee0, ee1 = self._switch_key_ext(key, digits, level)
-                c0p = self._p_scale(cin0)
-                top = modops.add_mod(ee0.data[:level], c0p.data, q_live)
-                ee0 = RnsPoly(
-                    jnp.concatenate([top, ee0.data[level:]], axis=0),
-                    level, num_p, True)
-                exts.append((P.automorphism(ee0, ai, crt),
-                             P.automorphism(ee1, ai, crt)))
+                    ext0_rows.append(ident0)
+                    ext1_rows.append(ident1)
+                else:
+                    ext0_rows.append(ne0[k])
+                    ext1_rows.append(ne1[k])
+                    k += 1
+            ext0 = jnp.stack(ext0_rows)  # [g, LK, N]
+            ext1 = jnp.stack(ext1_rows)
 
-            g = len(baby_idxs)
+            def group_body(carry, msg_i):  # msg_i [g, N] int64
+                def rot_body(acc, xs):
+                    msg_j, e0j, e1j = xs
+                    pn = ntt.fwd(self._lift_msgs(msg_j, idx), t_live)
+                    a0 = modops.add_mod(
+                        acc[0], modops.barrett_mul_d(pn, e0j, qk, muh,
+                                                     mulo), qk)
+                    a1 = modops.add_mod(
+                        acc[1], modops.barrett_mul_d(pn, e1j, qk, muh,
+                                                     mulo), qk)
+                    return (a0, a1), None
+
+                z = jnp.zeros((lk, n), dtype=jnp.uint64)
+                (a0, a1), _ = jax.lax.scan(rot_body, (z, z),
+                                           (msg_i, ext0, ext1))
+                return carry, (a0, a1)
+
+            _, (accs0, accs1) = jax.lax.scan(group_body, None, msgs)
+
             first = None      # ext c0 accumulator (never keyswitched)
             out0 = out1 = None
             gi = 0
             for i, gai in enumerate(giant_idxs):
-                res = self._lift_msgs(msgs[i], idx)  # [g, LK, N]
-                acc0 = acc1 = None
-                for j in range(g):
-                    pn = ntt.fwd(res[j], t_live)
-                    t0 = modops.barrett_mul_d(pn, exts[j][0].data,
-                                              qk, muh, mulo)
-                    t1 = modops.barrett_mul_d(pn, exts[j][1].data,
-                                              qk, muh, mulo)
-                    acc0 = t0 if acc0 is None else \
-                        modops.add_mod(acc0, t0, qk)
-                    acc1 = t1 if acc1 is None else \
-                        modops.add_mod(acc1, t1, qk)
-                acc0 = RnsPoly(acc0, level, num_p, True)
-                acc1 = RnsPoly(acc1, level, num_p, True)
+                acc0 = RnsPoly(accs0[i], level, num_p, True)
+                acc1 = RnsPoly(accs1[i], level, num_p, True)
                 if i == 0:
                     first = acc0
                     out1 = acc1
@@ -945,8 +984,12 @@ class Evaluator:
             ai, key = self.keygen.rot_key(r)
             baby_idxs.append(ai)
             kb, ka = self._key_raw(key, level)
-            baby_kb.append(kb)
-            baby_ka.append(ka)
+            baby_kb.append(jnp.stack(kb))  # [D, LKfull, N]
+            baby_ka.append(jnp.stack(ka))
+        # baby keys ride the lax.scan as one stacked operand
+        zero = jnp.zeros((0,), dtype=jnp.uint64)
+        baby_kb = jnp.stack(baby_kb) if baby_kb else zero
+        baby_ka = jnp.stack(baby_ka) if len(baby_ka) else zero
         giant_idxs, giant_kb, giant_ka = [], [], []
         for r in giant_rots:
             if r == 0:
