@@ -153,5 +153,14 @@ class GraphRunner:
 
     def _relu(self, xin, op):
         vr = self.relu_ranges.get(op.name, self.relu_range_default)
+        if getattr(self, "relu_observe", None) is not None:
+            # range-calibration probe (plain backend only): record the
+            # per-ReLU peak |input| — the on-the-fly analog of the
+            # reference's dataset calibration that produced the
+            # build_resnet*.sh per-ReLU ranges
+            v = np.asarray(xin.vec if hasattr(xin, "vec") else xin)
+            self.relu_observe[op.name] = max(
+                self.relu_observe.get(op.name, 0.0),
+                float(np.max(np.abs(v))))
         return self.be.relu(xin, vr, self.relu_mul_depth,
                             self.bootstrap_before_relu)

@@ -287,6 +287,44 @@ def infer_plain(graph: NNGraph, image: np.ndarray,
     return runner.run(be.pack(np.asarray(image).reshape(-1)))
 
 
+def calibrate_relu_ranges(graph: NNGraph, images,
+                          vr_default: float, vr: dict,
+                          margin: float = 1.25,
+                          n_slots: int = 1 << 14,
+                          trace=None) -> tuple[float, dict]:
+    """Widen the per-ReLU value ranges to cover the ACTUAL inputs.
+
+    The reference's shipped ranges (build_resnet*.sh -SIHE:relu_vr_def)
+    were calibrated on CIFAR batches; inputs outside that distribution
+    (e.g. the synthetic images used here because no dataset ships in
+    this environment) can push a pre-ReLU activation beyond its range,
+    and the composite sign polynomial then explodes like
+    (y + sqrt(y^2-1))^k — the e36 garbage of the first round-5 images.
+    This runs the plain oracle over the images, records each ReLU's
+    peak |input| (GraphRunner.relu_observe), and returns ranges
+    max(tuned, observed * margin). Depth, and therefore timing, is
+    unchanged — only the normalization constant moves."""
+    be = pk.PlainBackend(n_slots)
+    runner = GraphRunner(graph, be, relu_ranges=vr,
+                         relu_range_default=vr_default)
+    observed: dict = {}
+    runner.relu_observe = observed
+    for img in images:
+        runner.run(be.pack(np.asarray(img).reshape(-1)))
+    out = dict(vr)
+    for op in graph.ops:
+        if op.op_type != "Relu":
+            continue
+        tuned = vr.get(op.name, vr_default)
+        need = observed.get(op.name, 0.0) * margin
+        if need > tuned:
+            out[op.name] = float(np.ceil(need))
+            if trace:
+                trace(f"relu range calibrated {op.name}: {tuned} -> "
+                      f"{out[op.name]} (observed {observed[op.name]:.2f})")
+    return vr_default, out
+
+
 def infer_encrypted(model: CompiledModel, image: np.ndarray,
                     checkpoint: str = "") -> np.ndarray:
     """One encrypted inference; returns the logits (decrypted).

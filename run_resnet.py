@@ -75,6 +75,21 @@ def main():
     vr_default, vr = ranges_for(args.model)
     if args.relu_range:
         vr_default, vr = args.relu_range, {}
+
+    if args.cifar:
+        classes = 100 if "cifar100" in args.model else 10
+        imgs, labels = M.read_cifar_batch(args.cifar, args.images, classes)
+    else:
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
+        labels = None
+
+    # calibrate ReLU ranges against the actual inputs (plain oracle
+    # pass) — the reference's ranges assume CIFAR-distributed inputs
+    vr_default, vr = M.calibrate_relu_ranges(
+        g, imgs, vr_default, vr,
+        trace=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
+
     cfg = SchemeConfig(security_level=0,
                        hamming_weight=args.hamming_weight,
                        first_mod_size=60, scaling_mod_size=56,
@@ -105,14 +120,6 @@ def main():
     print(f"# security: {sec['detail']}"
           + ("" if sec["compliant"] else " [perf-evaluation config — "
              "see SECURITY.md]"), file=sys.stderr)
-
-    if args.cifar:
-        classes = 100 if "cifar100" in args.model else 10
-        imgs, labels = M.read_cifar_batch(args.cifar, args.images, classes)
-    else:
-        rng = np.random.default_rng(0)
-        imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
-        labels = None
 
     # resume: completed images live in the json; in-flight images in
     # their per-image checkpoint file

@@ -39,15 +39,6 @@ def main():
 
     g = M.load_model(args.model)
     classes = 100 if "cifar100" in args.model else 10
-    cfg = SchemeConfig(security_level=0, hamming_weight=192,
-                       first_mod_size=60, scaling_mod_size=56,
-                       relu_mul_depth=args.relu_depth,
-                       relu_value_range=args.relu_range,
-                       use_bootstrap=True)
-    model = M.compile_model(g, cfg, num_classes=classes,
-                            trace=lambda m: print(f"# {m}",
-                                                  file=sys.stderr,
-                                                  flush=True))
 
     if args.cifar:
         imgs, labels = M.read_cifar_batch(args.cifar, args.images, classes)
@@ -55,6 +46,23 @@ def main():
         rng = np.random.default_rng(1)
         imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
         labels = None
+
+    # widen ReLU ranges for the actual inputs (plain calibration pass;
+    # the tuned ranges assume CIFAR-distributed images)
+    vr_default, vr = M.calibrate_relu_ranges(
+        g, imgs, args.relu_range, {},
+        trace=lambda m: print(f"# {m}", file=sys.stderr, flush=True))
+
+    cfg = SchemeConfig(security_level=0, hamming_weight=192,
+                       first_mod_size=60, scaling_mod_size=56,
+                       relu_mul_depth=args.relu_depth,
+                       relu_value_range=vr_default,
+                       relu_ranges=vr,
+                       use_bootstrap=True)
+    model = M.compile_model(g, cfg, num_classes=classes,
+                            trace=lambda m: print(f"# {m}",
+                                                  file=sys.stderr,
+                                                  flush=True))
 
     agree = 0
     label_hits_enc = label_hits_plain = 0

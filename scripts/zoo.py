@@ -51,10 +51,17 @@ def main():
           file=sys.stderr, flush=True)
     from ace_tpu.compiler.relu_ranges import ranges_for
 
-    def cfg_for(model):
+    def cfg_for(model, graph=None):
         vr_default, vr = ranges_for(model)
         if args.relu_range:
             vr_default, vr = args.relu_range, {}
+        if graph is not None:
+            # widen ranges for the actual (synthetic) inputs — the
+            # tuned ranges assume CIFAR-distributed images
+            rng = np.random.default_rng(1)
+            imgs = rng.uniform(-1.5, 1.5, (args.images, 3, 32, 32))
+            vr_default, vr = M.calibrate_relu_ranges(
+                graph, imgs, vr_default, vr)
         return SchemeConfig(security_level=0, hamming_weight=192,
                             first_mod_size=60, scaling_mod_size=56,
                             relu_mul_depth=args.relu_depth,
@@ -77,7 +84,7 @@ def main():
     for name in names:
         g = M.load_model(name)
         classes = 100 if "cifar100" in name else 10
-        cfg = cfg_for(name)
+        cfg = cfg_for(name, g)
         info = infos[name]
         sec = security_posture(info)
         if ctx is None:
