@@ -187,8 +187,17 @@ class FheContext:
         self._io_outputs[name] = ct
 
     def handle_output(self, name: str, length: int = 0) -> np.ndarray:
-        """Client-side decrypt+decode (Handle_output)."""
+        """Client-side decrypt+decode (Handle_output).
+
+        Residual limbs above ~3 are dropped first (exact mod-switch:
+        message + noise << the remaining modulus), so the exact-CRT
+        big-int decode costs the same whether the graph ended 2 or 25
+        levels above the floor — on a shared max-depth chain (zoo) a
+        high-level decode was minutes of host big-int work."""
         ct = self._io_outputs[name]
+        floor = 3 if ct.sf_degree <= 1 else 2 + 2 * ct.sf_degree
+        while ct.level > floor:
+            ct = self.evaluator.mod_switch(ct)
         pt = self.evaluator.decrypt(ct)
         return self.encoder.decode(pt, length).real
 
