@@ -85,6 +85,13 @@ def main():
         per_image.append(row)
         print(f"image {i}: agree={ok} err={err:.3e} ({dt:.1f}s)",
               flush=True)
+        # incremental flush so an interrupted run still reports
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(dict(model=args.model, images=i + 1,
+                               agree=agree, max_err=max_err,
+                               per_image=per_image,
+                               synthetic=not args.cifar), f, indent=1)
 
     out = dict(model=args.model, images=args.images, agree=agree,
                max_err=max_err, per_image=per_image,
